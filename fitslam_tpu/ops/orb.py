@@ -1,0 +1,274 @@
+"""TPU-native ORB feature extraction.
+
+Re-implements the capability of ORB-SLAM3's ORBextractor (reference submodule,
+SURVEY.md §2.1 S1: FAST+BRIEF pyramid, orientation, spatially distributed
+keypoints) as batched dense array ops:
+
+- FAST-16 corner test as vectorized ring arithmetic: the 16 circle samples are
+  produced by rolls, packed into a 16-bit ring per pixel, and the ">=9
+  contiguous" test is a logarithmic AND-of-rotations — pure VPU work, no
+  per-pixel branching.
+- Non-max suppression as a 3x3 reduce_window.
+- Per-level fixed-capacity top-k selection (masked), geometric feature
+  distribution across pyramid levels.
+- Orientation by intensity centroid and rotated-BRIEF sampling both act on
+  gathered 32x32 patches; BRIEF rotation uses 30 quantized angle bins with a
+  precomputed nearest-pixel index table, so descriptor sampling is a single
+  take_along_axis (no dynamic interpolation weights).
+
+The descriptor pattern is generated (seeded Gaussian pairs, classic BRIEF
+construction) rather than copied from any existing implementation.
+
+Outputs are fixed-shape `FrameFeatures` pytrees with validity masks, so the
+whole extractor jits once and stays shape-stable for the tracker.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fitslam_tpu.ops import image as imops
+
+PATCH = 32
+HALF = PATCH // 2
+EDGE = 16            # border margin where no keypoint is extracted
+N_ANGLE_BINS = 30
+N_PAIRS = 256
+
+# FAST-16 Bresenham circle of radius 3, in ring order (dr, dc)
+_FAST_OFFSETS = np.array(
+    [
+        (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+        (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+    ],
+    dtype=np.int32,
+)
+
+
+class FrameFeatures(NamedTuple):
+    """Fixed-capacity per-frame features (level-0 coordinates)."""
+
+    xy: jax.Array        # (N, 2) float32, (x, y) in level-0 pixels
+    response: jax.Array  # (N,) float32
+    angle: jax.Array     # (N,) float32 radians
+    level: jax.Array     # (N,) int32
+    desc: jax.Array      # (N, 8) uint32 — 256-bit rBRIEF
+    valid: jax.Array     # (N,) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.xy.shape[-2]
+
+
+# ---------------------------------------------------------------------------
+# BRIEF pattern (generated, seeded)
+# ---------------------------------------------------------------------------
+
+
+def _make_brief_pattern(seed: int = 7) -> np.ndarray:
+    """(N_PAIRS, 2, 2) integer (dr, dc) offsets, Gaussian sigma = patch/5."""
+    rng = np.random.RandomState(seed)
+    sigma = PATCH / 5.0
+    pts = rng.normal(0.0, sigma, size=(N_PAIRS, 2, 2))
+    return np.clip(np.round(pts), -(HALF - 3), HALF - 3).astype(np.int32)
+
+
+def _make_rotated_index_table() -> np.ndarray:
+    """(N_ANGLE_BINS, 2*N_PAIRS) flat patch indices of rotated sample points.
+
+    Layout: first N_PAIRS entries are point A of each pair, next N_PAIRS are
+    point B. Patch pixel (r, c) flattens to r * PATCH + c with the keypoint at
+    (HALF, HALF).
+    """
+    pattern = _make_brief_pattern()  # (256, 2, 2) as (dr, dc)
+    table = np.zeros((N_ANGLE_BINS, 2 * N_PAIRS), dtype=np.int32)
+    for b in range(N_ANGLE_BINS):
+        theta = 2.0 * math.pi * b / N_ANGLE_BINS
+        ct, st = math.cos(theta), math.sin(theta)
+        # rotate (dr, dc): treat dc=x, dr=y (y down); standard rotation
+        dr, dc = pattern[..., 0], pattern[..., 1]
+        rc = np.round(ct * dc - st * dr).astype(np.int32)
+        rr = np.round(st * dc + ct * dr).astype(np.int32)
+        rr = np.clip(rr + HALF, 0, PATCH - 1)
+        rc = np.clip(rc + HALF, 0, PATCH - 1)
+        flat = rr * PATCH + rc  # (256, 2)
+        table[b, :N_PAIRS] = flat[:, 0]
+        table[b, N_PAIRS:] = flat[:, 1]
+    return table
+
+
+_ROT_TABLE = jnp.asarray(_make_rotated_index_table())
+
+# centroid weights for orientation (circular mask radius 15)
+_rr, _cc = np.meshgrid(np.arange(PATCH) - HALF, np.arange(PATCH) - HALF, indexing="ij")
+_CIRC = ((_rr**2 + _cc**2) <= 15**2).astype(np.float32)
+_WX = jnp.asarray(_cc * _CIRC)  # x = column
+_WY = jnp.asarray(_rr * _CIRC)  # y = row
+
+
+# ---------------------------------------------------------------------------
+# FAST corner response
+# ---------------------------------------------------------------------------
+
+
+def _rotl16(b: jax.Array, k: int) -> jax.Array:
+    return ((b << k) | (b >> (16 - k))) & jnp.int32(0xFFFF)
+
+
+def fast_score_map(img: jax.Array, threshold: float) -> jax.Array:
+    """Per-pixel FAST-9/16 corner score (0 where not a corner).
+
+    Score is the arc-mean absolute excess over the threshold — a smooth,
+    NMS-friendly response similar in spirit to OpenCV's SAD score.
+    """
+    center = img
+    ring = jnp.stack(
+        [jnp.roll(img, (-dr, -dc), axis=(-2, -1)) for dr, dc in _FAST_OFFSETS], axis=0
+    )  # (16, H, W)
+    diff = ring - center[None]
+    t = jnp.float32(threshold)
+    bright = (diff > t).astype(jnp.int32)
+    dark = (diff < -t).astype(jnp.int32)
+
+    def contiguous9(bits16_stack):
+        # bits16_stack: (16, H, W) 0/1 -> packed int32 ring
+        weights = (2 ** np.arange(16)).astype(np.int32)
+        b = jnp.tensordot(jnp.asarray(weights), bits16_stack, axes=([0], [0]))
+        c2 = b & _rotl16(b, 1)
+        c4 = c2 & _rotl16(c2, 2)
+        c8 = c4 & _rotl16(c4, 4)
+        c9 = c8 & _rotl16(b, 8)
+        return c9 != 0
+
+    is_corner = contiguous9(bright) | contiguous9(dark)
+    excess_b = jnp.sum(jnp.maximum(diff - t, 0.0), axis=0)
+    excess_d = jnp.sum(jnp.maximum(-diff - t, 0.0), axis=0)
+    score = jnp.maximum(excess_b, excess_d)
+    return jnp.where(is_corner, score, 0.0)
+
+
+def _nms3(score: jax.Array) -> jax.Array:
+    neigh_max = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    return jnp.where(score >= neigh_max, score, 0.0)
+
+
+def _border_mask(h: int, w: int, margin: int) -> jax.Array:
+    r = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return (r >= margin) & (r < h - margin) & (c >= margin) & (c < w - margin)
+
+
+# ---------------------------------------------------------------------------
+# Patch-based orientation + descriptor
+# ---------------------------------------------------------------------------
+
+
+def _extract_patches(img: jax.Array, xy_int: jax.Array) -> jax.Array:
+    """Gather (N, PATCH, PATCH) patches centered at integer (x, y)."""
+    padded = jnp.pad(img, ((HALF, HALF), (HALF, HALF)))
+
+    def one(xy):
+        return jax.lax.dynamic_slice(padded, (xy[1], xy[0]), (PATCH, PATCH))
+
+    return jax.vmap(one)(xy_int)
+
+
+def _orientations(patches: jax.Array) -> jax.Array:
+    m10 = jnp.einsum("nij,ij->n", patches, _WX)
+    m01 = jnp.einsum("nij,ij->n", patches, _WY)
+    return jnp.arctan2(m01, m10)
+
+
+def _descriptors(patches_smooth: jax.Array, angle: jax.Array) -> jax.Array:
+    """rBRIEF: (N, 32, 32) patches + angles -> (N, 8) uint32."""
+    n = patches_smooth.shape[0]
+    two_pi = 2.0 * math.pi
+    bin_f = jnp.round(angle / two_pi * N_ANGLE_BINS).astype(jnp.int32) % N_ANGLE_BINS
+    idx = _ROT_TABLE[bin_f]                         # (N, 512)
+    flat = patches_smooth.reshape(n, PATCH * PATCH)
+    samples = jnp.take_along_axis(flat, idx, axis=1)  # (N, 512)
+    bits = (samples[:, :N_PAIRS] < samples[:, N_PAIRS:]).astype(jnp.uint32)  # (N, 256)
+    shifts = jnp.asarray((np.arange(32, dtype=np.uint32)), jnp.uint32)
+    packed = jnp.sum(bits.reshape(n, 8, 32) << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+    return packed
+
+
+# ---------------------------------------------------------------------------
+# Full extractor
+# ---------------------------------------------------------------------------
+
+
+def _level_feature_counts(num_features: int, num_levels: int, scale_factor: float) -> List[int]:
+    inv = [1.0 / (scale_factor ** (2 * l)) for l in range(num_levels)]
+    total = sum(inv)
+    counts = [max(8, int(round(num_features * v / total))) for v in inv]
+    counts[0] += num_features - sum(counts)
+    return counts
+
+
+@partial(jax.jit, static_argnames=("num_features", "num_levels", "scale_factor", "fast_threshold"))
+def extract_orb(
+    img: jax.Array,
+    num_features: int = 1024,
+    num_levels: int = 4,
+    scale_factor: float = 1.4142135,
+    fast_threshold: float = 20.0,
+) -> FrameFeatures:
+    """Extract ORB features from a grayscale float32 image (H, W) in [0, 255]."""
+    pyr = imops.build_pyramid(img, num_levels, scale_factor)
+    counts = _level_feature_counts(num_features, num_levels, scale_factor)
+    # recompute effective per-level scales from the actual (rounded) shapes
+    h0, w0 = img.shape[-2:]
+
+    xs, ys, resp, angs, lvls, descs, valids = [], [], [], [], [], [], []
+    for lvl, (level_img, k_lvl) in enumerate(zip(pyr, counts)):
+        h, w = level_img.shape[-2:]
+        sx = w0 / w
+        sy = h0 / h
+        score = fast_score_map(level_img, fast_threshold)
+        score = _nms3(score)
+        score = jnp.where(_border_mask(h, w, EDGE), score, 0.0)
+        flat = score.reshape(-1)
+        k_lvl = min(k_lvl, flat.shape[0])
+        top_scores, top_idx = jax.lax.top_k(flat, k_lvl)
+        yy = (top_idx // w).astype(jnp.int32)
+        xx = (top_idx % w).astype(jnp.int32)
+        ok = top_scores > 0.0
+
+        smooth = imops.gaussian_blur(level_img, sigma=2.0, radius=3)
+        patches_raw = _extract_patches(level_img, jnp.stack([xx, yy], axis=-1))
+        patches_smooth = _extract_patches(smooth, jnp.stack([xx, yy], axis=-1))
+        ang = _orientations(patches_raw)
+        desc = _descriptors(patches_smooth, ang)
+
+        xs.append(xx.astype(jnp.float32) * sx)
+        ys.append(yy.astype(jnp.float32) * sy)
+        resp.append(top_scores)
+        angs.append(ang)
+        lvls.append(jnp.full((k_lvl,), lvl, jnp.int32))
+        descs.append(desc)
+        valids.append(ok)
+
+    xy = jnp.stack([jnp.concatenate(xs), jnp.concatenate(ys)], axis=-1)
+    response = jnp.concatenate(resp)
+    angle = jnp.concatenate(angs)
+    level = jnp.concatenate(lvls)
+    desc = jnp.concatenate(descs, axis=0)
+    valid = jnp.concatenate(valids)
+
+    # Trim/pad to exactly num_features ranked by response
+    n = xy.shape[0]
+    if n != num_features:
+        order_scores = jnp.where(valid, response, -1.0)
+        _, order = jax.lax.top_k(order_scores, num_features)
+        xy, response, angle = xy[order], response[order], angle[order]
+        level, desc, valid = level[order], desc[order], valid[order]
+    return FrameFeatures(xy, response, angle, level, desc, valid)

@@ -1,0 +1,352 @@
+"""Typed configuration tree.
+
+Replaces the reference's two-tier parameter system (ParameterHandler singleton
+over YAML + ROS2 params; SURVEY.md §5 "Config / flag system",
+frontier_exploration/src/Parameters.cpp:6-60) with frozen dataclasses: one
+dataclass per YAML namespace of the reference
+(active_slam_exploration_params.yaml:1-62, traversabilityParams.yaml:1-32),
+loadable from YAML with dotted-path overrides, and with the same startup
+sanity checks (mutually-exclusive hysteresis modes, threshold ranges).
+
+Capacities (MAX_*) are compile-time constants of the fixed-shape device state;
+changing them retriggers jit compilation, so they live here, not in runtime
+state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import yaml
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole stereo/RGB-D intrinsics (reference: ORB-SLAM3 settings yaml)."""
+
+    width: int = 640
+    height: int = 480
+    fx: float = 320.0
+    fy: float = 320.0
+    cx: float = 320.0
+    cy: float = 240.0
+    baseline: float = 0.12          # stereo baseline [m]
+    depth_min: float = 0.3
+    depth_max: float = 14.0         # matches FI max observation distance
+    rgbd: bool = False
+
+
+@dataclass(frozen=True)
+class OrbConfig:
+    """ORB extraction (reference: ORB-SLAM3 ORBextractor settings)."""
+
+    num_features: int = 1024        # fixed capacity per frame (masked)
+    num_levels: int = 4
+    scale_factor: float = 1.4142135 # sqrt(2) power-of-two friendly pyramid
+    fast_threshold: float = 20.0
+    cell_size: int = 16             # spatial-binning cell for NMS / distribution
+    descriptor_bits: int = 256
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    max_matches: int = 512
+    match_max_hamming: int = 64
+    match_ratio: float = 0.8
+    search_radius_px: float = 24.0
+    pose_gn_iters: int = 8
+    huber_delta_px: float = 3.0
+    min_inliers: int = 15
+    keyframe_min_interval: int = 4          # frames
+    keyframe_translation: float = 0.35      # [m]
+    keyframe_rotation: float = 0.25         # [rad]
+    keyframe_min_tracked_ratio: float = 0.6
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    max_keyframes: int = 256
+    max_landmarks: int = 8192
+    max_observations: int = 32768
+    local_window: int = 8           # keyframes in local BA
+    ba_iters: int = 6
+    ba_damping: float = 1e-4
+    cull_min_observations: int = 2
+    reproj_chi2_mono: float = 5.991
+    reproj_chi2_stereo: float = 7.815
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    enabled: bool = True
+    vocab_dim: int = 256            # projected binary-descriptor signature dim
+    min_score: float = 0.22
+    min_gap_keyframes: int = 20
+    min_matches: int = 24
+    pgo_iters: int = 12
+    run_global_ba: bool = True
+
+
+@dataclass(frozen=True)
+class TraversabilityConfig:
+    """SURVEY.md §2.1 S5; traversabilityParams.yaml:1-32."""
+
+    resolution: float = 0.25
+    half_size_m: float = 20.0       # local map half size
+    global_size_m: float = 80.0
+    security_distance: float = 0.6
+    ground_clearance: float = 0.17
+    max_slope: float = 0.7
+    robot_height: float = 1.5
+    lethal_threshold: int = 55      # traversability_ros_params.yaml:22-24
+    kf_optimization_enabled: bool = True
+    max_points_per_cloud: int = 16384
+    max_clouds: int = 256           # per-KF cloud ring buffer
+
+
+@dataclass(frozen=True)
+class FrontierSearchConfig:
+    """SURVEY.md §2.3 E3; namespace frontierSearch."""
+
+    search_radius_m: float = 12.0
+    search_radius_growth: float = 1.5
+    max_frontier_cluster_size: int = 20
+    min_frontier_cluster_size: int = 1
+    max_frontiers: int = 128
+    cc_iters: int = 64              # label-propagation rounds for clustering
+
+
+@dataclass(frozen=True)
+class CostCalculatorConfig:
+    """SURVEY.md §2.3 E5; namespace costCalculator."""
+
+    raycast_depth_m: float = 2.0
+    raycast_dtheta: float = 0.1     # rad; 63 rays over 2*pi
+    camera_fov: float = 1.04        # rad box-filter width
+    max_ray_cells: int = 32
+    factor_of_max_info: float = 0.7  # achievability floor
+    closeness_rejection_m: float = 0.5
+
+
+@dataclass(frozen=True)
+class CostAssignerConfig:
+    cost_calculation_methods: Tuple[str, ...] = (
+        "RoadmapPlannerDistance",
+        "ArrivalInformation",
+    )
+    alpha: float = 0.25             # info weight in utility
+    beta: float = 1.0
+    max_linear_velocity: float = 0.5
+    max_angular_velocity: float = 0.5
+    planner_allow_unknown: bool = True
+
+
+@dataclass(frozen=True)
+class RoadmapConfig:
+    """SURVEY.md §2.3 E8; namespace frontierRoadmap."""
+
+    max_nodes: int = 1024
+    max_edges_per_node: int = 16
+    spatial_hash_cell_m: float = 1.0
+    min_node_separation: float = 0.45
+    max_edge_length: float = 6.1
+    max_unknown_fraction: float = 0.3
+    trailing_pose_count: int = 10
+    cleanup_period_s: float = 15.0
+    correct_loop_closure: bool = True
+
+
+@dataclass(frozen=True)
+class PathOptimizerConfig:
+    """SURVEY.md §2.3 E10; namespace fullPathOptimizer."""
+
+    max_local_frontiers: int = 5
+    local_path_threshold_m: float = 12.0
+    add_yaw_to_tsp: bool = False
+    add_distance_to_robot_to_tsp: bool = True
+    blacklist_radius_m: float = 1.2
+    max_blacklist: int = 64
+
+
+@dataclass(frozen=True)
+class GoalHysteresisConfig:
+    enabled: bool = True
+    use_euclidean: bool = True      # mutually exclusive with use_roadmap
+    use_roadmap: bool = False
+    switch_threshold_m: float = 3.0
+
+
+@dataclass(frozen=True)
+class FisherInformationConfig:
+    """SURVEY.md §2.2 F1-F4; namespace fisherInformation."""
+
+    enabled: bool = True
+    threshold: float = 550.0        # FisherInfoBTPlugin.cpp:20 / v1 yaml
+    max_landmark_distance: float = 14.0
+    max_landmarks: int = 2048
+    voxel_step_min: float = 0.09
+    voxel_step_max: float = 0.3
+    saturation_exponent: float = 0.8  # exp(1 - count^0.8)
+    measurement_noise: float = 0.01
+    fov_half_angle: float = 0.52    # camera half-FOV for pair info
+    lethal_wedge_apex_deg: float = 45.0
+    lethal_wedge_height_m: float = 3.5
+    blacklist_lookahead_m: float = 2.5
+
+
+@dataclass(frozen=True)
+class ExplorationBTConfig:
+    """Namespace explorationBT; BT pacing + retry ladder."""
+
+    tick_dt_s: float = 0.07         # bt_sleep_ms 70
+    rate_hz: float = 1.0            # 5.0 in rapid mode
+    nav2_goal_timeout_s: float = 60.0
+    max_nav_failures_before_blacklist: int = 4
+    fi_drop_window: int = 6
+    fi_drop_limit: int = 3
+    abort_on_nav_abort: bool = False
+    replan_timeout_s: float = 6.0
+
+
+@dataclass(frozen=True)
+class SensorSimulatorConfig:
+    """Namespace sensorSimulator (coverage accounting in light/rapid modes)."""
+
+    enabled: bool = False
+    angular_resolution: float = 0.013
+    range_m: float = 1.5
+    rate_hz: float = 1.0
+
+
+@dataclass(frozen=True)
+class NavConfig:
+    """Nav2-equivalent planner/controller (SURVEY.md §2.4)."""
+
+    planner_tolerance_m: float = 0.5
+    allow_unknown: bool = True
+    controller_rate_hz: float = 10.0
+    desired_speed: float = 0.5
+    lookahead_m: float = 0.6
+    rotate_to_heading: bool = True
+    inflation_radius_m: float = 1.0
+    cost_scaling_factor: float = 5.0
+    replan_rate_hz: float = 10.0
+    wavefront_iters: int = 512      # NavFn-equivalent relaxation sweeps
+
+
+@dataclass(frozen=True)
+class RecoveryConfig:
+    """SURVEY.md §2.3 E14."""
+
+    probe_distance_m: float = 2.5
+    move_distance_m: float = 0.84
+    speed: float = 0.6
+
+
+@dataclass(frozen=True)
+class MultiRobotConfig:
+    max_robots: int = 4
+    allocator: str = "hungarian"    # or "minpos"
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout for the sharded solvers (parallel/)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    ba_shard_axis: str = "data"     # observations sharded over this axis
+
+
+@dataclass(frozen=True)
+class FitSlamConfig:
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    orb: OrbConfig = field(default_factory=OrbConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
+    traversability: TraversabilityConfig = field(default_factory=TraversabilityConfig)
+    frontier_search: FrontierSearchConfig = field(default_factory=FrontierSearchConfig)
+    cost_calculator: CostCalculatorConfig = field(default_factory=CostCalculatorConfig)
+    cost_assigner: CostAssignerConfig = field(default_factory=CostAssignerConfig)
+    roadmap: RoadmapConfig = field(default_factory=RoadmapConfig)
+    path_optimizer: PathOptimizerConfig = field(default_factory=PathOptimizerConfig)
+    goal_hysteresis: GoalHysteresisConfig = field(default_factory=GoalHysteresisConfig)
+    fisher_information: FisherInformationConfig = field(default_factory=FisherInformationConfig)
+    exploration_bt: ExplorationBTConfig = field(default_factory=ExplorationBTConfig)
+    sensor_simulator: SensorSimulatorConfig = field(default_factory=SensorSimulatorConfig)
+    nav: NavConfig = field(default_factory=NavConfig)
+    recovery: RecoveryConfig = field(default_factory=RecoveryConfig)
+    multi_robot: MultiRobotConfig = field(default_factory=MultiRobotConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    def validate(self) -> "FitSlamConfig":
+        """Startup sanity checks (reference: Parameters.cpp:6-60)."""
+        gh = self.goal_hysteresis
+        if gh.enabled and gh.use_euclidean and gh.use_roadmap:
+            raise ValueError("goal_hysteresis: use_euclidean and use_roadmap are mutually exclusive")
+        if not (0.0 < self.cost_assigner.alpha <= 1.0):
+            raise ValueError("cost_assigner.alpha must be in (0, 1]")
+        if self.fisher_information.threshold <= 0:
+            raise ValueError("fisher_information.threshold must be positive")
+        if self.traversability.lethal_threshold not in range(0, 256):
+            raise ValueError("traversability.lethal_threshold must be a cost in [0, 255]")
+        if self.frontier_search.max_frontier_cluster_size < 1:
+            raise ValueError("frontier_search.max_frontier_cluster_size must be >= 1")
+        return self
+
+
+# ---------------------------------------------------------------------------
+# YAML loading + dotted overrides
+# ---------------------------------------------------------------------------
+
+
+def _build(cls, data: Dict[str, Any]):
+    defaults = cls()
+    kwargs = {}
+    valid = {f.name for f in fields(cls)}
+    for key, val in data.items():
+        if key not in valid:
+            raise KeyError(f"unknown config key {cls.__name__}.{key}")
+        cur = getattr(defaults, key)
+        if is_dataclass(cur) and isinstance(val, dict):
+            kwargs[key] = _build(type(cur), val)
+        elif isinstance(val, list):
+            kwargs[key] = tuple(val)
+        else:
+            kwargs[key] = val
+    return cls(**kwargs)
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[Dict[str, Any]] = None) -> FitSlamConfig:
+    """Load config from YAML and apply `{"a.b.c": value}` overrides."""
+    data: Dict[str, Any] = {}
+    if path is not None:
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+    cfg = _build(FitSlamConfig, data)
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    return cfg.validate()
+
+
+def apply_overrides(cfg: FitSlamConfig, overrides: Dict[str, Any]) -> FitSlamConfig:
+    for dotted, value in overrides.items():
+        parts = dotted.split(".")
+        cfg = _replace_path(cfg, parts, value)
+    return cfg
+
+
+def _replace_path(node, parts, value):
+    if len(parts) == 1:
+        if isinstance(value, list):
+            value = tuple(value)
+        return dataclasses.replace(node, **{parts[0]: value})
+    child = getattr(node, parts[0])
+    return dataclasses.replace(node, **{parts[0]: _replace_path(child, parts[1:], value)})
+
+
+def to_dict(cfg) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
