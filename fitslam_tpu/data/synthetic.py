@@ -1,0 +1,184 @@
+"""Procedural worlds and sequences.
+
+Replaces the reference's Gazebo marsyard / indoor-corridor worlds
+(README.md:12, SURVEY.md §4.5) as the test/bench environment: a deterministic
+landmark field + camera trajectory generator, a sparse-feature "renderer"
+(projected landmarks with noise — the fake SLAM backend analog of
+`get_landmarks_simulator`), and a dense textured renderer for exercising the
+image-level ORB frontend.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fitslam_tpu.ops import lie
+from fitslam_tpu.ops.geometry import Intrinsics, project_stereo
+
+
+class World(NamedTuple):
+    landmarks: jax.Array   # (L, 3) world points
+    terrain_fn: object = None
+
+
+def make_landmark_field(
+    key, num: int, extent_xy: float = 30.0, z_range: Tuple[float, float] = (0.0, 2.5)
+) -> World:
+    """Uniform landmark cloud in a box — corridor/field scene stand-in."""
+    k1, k2 = jax.random.split(key)
+    xy = jax.random.uniform(k1, (num, 2), minval=-extent_xy, maxval=extent_xy)
+    z = jax.random.uniform(k2, (num, 1), minval=z_range[0], maxval=z_range[1])
+    return World(jnp.concatenate([xy, z], axis=-1))
+
+
+def corridor_world(key, num: int = 4096, length: float = 40.0, width: float = 4.0) -> World:
+    """Landmarks on the two walls of a corridor along +x (indoor sequence)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.uniform(k1, (num,), minval=0.0, maxval=length)
+    side = jnp.where(jax.random.bernoulli(k2, 0.5, (num,)), 1.0, -1.0)
+    y = side * width / 2 + 0.05 * jax.random.normal(k3, (num,))
+    z = jax.random.uniform(jax.random.fold_in(key, 7), (num,), minval=0.0, maxval=2.5)
+    return World(jnp.stack([x, y, z], axis=-1))
+
+
+def loop_trajectory(num_frames: int, radius: float = 12.0, height: float = 1.2) -> lie.SE3:
+    """Camera going around a circle, facing tangentially — closes a loop.
+
+    Returns world-from-camera poses (T_wc) with camera +z forward, +x right,
+    +y down (optical convention).
+    """
+    s = jnp.linspace(0.0, 2.0 * math.pi, num_frames)
+    cx = radius * jnp.cos(s)
+    cy = radius * jnp.sin(s)
+    cz = jnp.full_like(s, height)
+    yaw = s + math.pi / 2  # tangent direction
+    # Build R_wc: camera z-axis = forward (cos yaw, sin yaw, 0),
+    # camera x-axis = right, camera y-axis = down.
+    fwd = jnp.stack([jnp.cos(yaw), jnp.sin(yaw), jnp.zeros_like(yaw)], axis=-1)
+    down = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), fwd.shape)  # world -z is "down" for y-down cam? see below
+    # camera y (down in image) maps to world -z (ground) => y_w = (0,0,-1)
+    right = jnp.cross(down, fwd)
+    R_wc = jnp.stack([right, down, fwd], axis=-1)  # columns are camera axes in world
+    t_wc = jnp.stack([cx, cy, cz], axis=-1)
+    return lie.SE3(R_wc, t_wc)
+
+
+def straight_trajectory(num_frames: int, length: float = 30.0, height: float = 1.2,
+                        start_x: float = 2.0) -> lie.SE3:
+    """Camera moving along +x looking forward (corridor sequence)."""
+    x = jnp.linspace(start_x, start_x + length, num_frames)
+    t_wc = jnp.stack([x, jnp.zeros_like(x), jnp.full_like(x, height)], axis=-1)
+    fwd = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), t_wc.shape)
+    down = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), t_wc.shape)
+    right = jnp.cross(down, fwd)
+    R_wc = jnp.stack([right, down, fwd], axis=-1)
+    return lie.SE3(R_wc, t_wc)
+
+
+class SparseFrame(NamedTuple):
+    """Ground-truth-projected landmark observations for one frame."""
+
+    uvr: jax.Array       # (M, 3) [u, v, u_r] noisy pixel observations
+    lm_id: jax.Array     # (M,) int32 landmark index (ground truth association)
+    valid: jax.Array     # (M,) bool
+
+
+def render_sparse(
+    K: Intrinsics,
+    world: World,
+    T_wc: lie.SE3,
+    key,
+    max_obs: int,
+    noise_px: float = 0.5,
+    width: int = 640,
+    height: int = 480,
+    max_depth: float = 14.0,
+) -> SparseFrame:
+    """Project all landmarks into the camera; keep up to max_obs visible ones.
+
+    Deterministic given key; the fixed-capacity output is filled by top-k on
+    visibility (closest first) with a validity mask.
+    """
+    T_cw = lie.inverse(T_wc)
+    p_c = lie.apply(T_cw, world.landmarks)
+    uvr, z_ok = project_stereo(K, p_c)
+    u, v = uvr[..., 0], uvr[..., 1]
+    vis = (
+        z_ok
+        & (p_c[..., 2] < max_depth)
+        & (u >= 1) & (u < width - 1)
+        & (v >= 1) & (v < height - 1)
+        & (uvr[..., 2] >= 1)
+    )
+    score = jnp.where(vis, -p_c[..., 2], -jnp.inf)  # prefer close landmarks
+    _, idx = jax.lax.top_k(score, max_obs)
+    sel_valid = vis[idx]
+    noise = noise_px * jax.random.normal(key, (max_obs, 3))
+    noise = noise.at[:, 2].set(noise[:, 2] * 0.5 + noise[:, 0])  # u_r correlated with u
+    obs = uvr[idx] + noise
+    return SparseFrame(obs, idx.astype(jnp.int32), sel_valid)
+
+
+# ---------------------------------------------------------------------------
+# Dense textured renderer (for the ORB image frontend)
+# ---------------------------------------------------------------------------
+
+
+def render_dense(
+    K: Intrinsics,
+    world: World,
+    T_wc: lie.SE3,
+    width: int = 640,
+    height: int = 480,
+    splat_sigma: float = 1.5,
+    max_depth: float = 25.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Render (left, right) grayscale images: landmarks splatted as Gaussian
+    blobs with per-landmark deterministic intensity. Crude but featureful —
+    corners appear at blob boundaries and track consistently across frames.
+    """
+    def render_one(T_cam: lie.SE3):
+        p_c = lie.apply(lie.inverse(T_cam), world.landmarks)
+        uvr, z_ok = project_stereo(K, p_c)
+        vis = z_ok & (p_c[..., 2] < max_depth)
+        u, v = uvr[..., 0], uvr[..., 1]
+        lum = 60.0 + 195.0 * _hash01(jnp.arange(world.landmarks.shape[0]))
+        img = _splat(u, v, jnp.where(vis, lum, 0.0), height, width, splat_sigma)
+        return img
+
+    left = render_one(T_wc)
+    # right camera: offset by +baseline along camera x-axis
+    t_right = T_wc.t + T_wc.R[..., :, 0] * K.baseline
+    right = render_one(lie.SE3(T_wc.R, t_right))
+    return left, right
+
+
+def _hash01(i: jax.Array) -> jax.Array:
+    x = (i.astype(jnp.uint32) * jnp.uint32(2654435761)) ^ jnp.uint32(0x9E3779B9)
+    x = x ^ (x >> 16)
+    return (x & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65535.0
+
+
+def _splat(u, v, lum, height, width, sigma):
+    """Scatter-add Gaussian blobs: rasterize a small stamp per landmark."""
+    R = 3
+    iu = jnp.round(u).astype(jnp.int32)
+    iv = jnp.round(v).astype(jnp.int32)
+    img = jnp.zeros((height, width), jnp.float32)
+    offs = jnp.arange(-R, R + 1)
+    dy, dx = jnp.meshgrid(offs, offs, indexing="ij")
+    w = jnp.exp(-(dx**2 + dy**2) / (2 * sigma * sigma))  # (7, 7)
+    rows = iv[:, None, None] + dy[None]
+    cols = iu[:, None, None] + dx[None]
+    vals = lum[:, None, None] * w[None]
+    inb = (rows >= 0) & (rows < height) & (cols >= 0) & (cols < width)
+    flat = jnp.where(inb, rows * width + cols, height * width)
+    img = jnp.zeros((height * width + 1,), jnp.float32).at[flat.reshape(-1)].add(
+        jnp.where(inb, vals, 0.0).reshape(-1), mode="drop"
+    )[: height * width]
+    return jnp.clip(img.reshape(height, width), 0.0, 255.0)

@@ -1,0 +1,115 @@
+"""Batched binary-descriptor matching.
+
+Replaces ORB-SLAM3's ORBmatcher (reference submodule, SURVEY.md §2.1 S1) with
+dense fixed-shape kernels: the full pairwise Hamming-distance matrix is one
+XOR + population-count contraction on uint32 words — ideal VPU work — and all
+selection logic (best/second-best ratio test, mutual consistency, windowed
+search, stereo epipolar constraints) is masking over that matrix. Invalid
+rows/columns carry +inf-like sentinel distances instead of changing shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.int32(1 << 20)  # sentinel distance for masked entries (>> 256 bits)
+
+
+class Matches(NamedTuple):
+    """Fixed-capacity match set from set A (rows) into set B (cols)."""
+
+    idx_b: jax.Array     # (Na,) int32 — matched column per row (garbage if invalid)
+    distance: jax.Array  # (Na,) int32 — Hamming distance
+    valid: jax.Array     # (Na,) bool
+
+
+def hamming_matrix(desc_a: jax.Array, desc_b: jax.Array,
+                   valid_a: jax.Array, valid_b: jax.Array) -> jax.Array:
+    """(Na, 8) x (Nb, 8) uint32 -> (Na, Nb) int32 Hamming distances.
+
+    Masked rows/cols get the BIG sentinel.
+    """
+    x = jax.lax.population_count(desc_a[:, None, :] ^ desc_b[None, :, :])
+    d = jnp.sum(x.astype(jnp.int32), axis=-1)
+    mask = valid_a[:, None] & valid_b[None, :]
+    return jnp.where(mask, d, BIG)
+
+
+def match_ratio(
+    dist: jax.Array,
+    max_distance: int = 64,
+    ratio: float = 0.8,
+    mutual: bool = True,
+) -> Matches:
+    """Best-match selection with Lowe ratio + optional mutual-consistency.
+
+    dist: (Na, Nb) int32 Hamming matrix (BIG where invalid).
+    """
+    na, nb = dist.shape
+    # top-2 per row (smallest distances)
+    neg = -dist
+    top2, idx2 = jax.lax.top_k(neg, 2)
+    best = -top2[:, 0]
+    second = -top2[:, 1]
+    best_idx = idx2[:, 0]
+    ok = (best <= max_distance) & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
+    if mutual:
+        col_best = jnp.argmin(dist, axis=0)  # (Nb,)
+        ok = ok & (col_best[best_idx] == jnp.arange(na))
+    return Matches(best_idx.astype(jnp.int32), best, ok)
+
+
+def match_windowed(
+    dist: jax.Array,
+    xy_a: jax.Array,
+    xy_b: jax.Array,
+    radius: float,
+    max_distance: int = 64,
+    ratio: float = 0.9,
+) -> Matches:
+    """Projection-guided matching: only columns within `radius` px of the
+    row's predicted position are candidates (reference: ORBmatcher's
+    SearchByProjection used in motion-model tracking)."""
+    d2 = jnp.sum((xy_a[:, None, :] - xy_b[None, :, :]) ** 2, axis=-1)
+    dist = jnp.where(d2 <= radius * radius, dist, BIG)
+    return match_ratio(dist, max_distance=max_distance, ratio=ratio, mutual=False)
+
+
+def match_stereo(
+    dist: jax.Array,
+    xy_l: jax.Array,
+    xy_r: jax.Array,
+    level_l: jax.Array,
+    level_r: jax.Array,
+    max_disparity: float,
+    max_distance: int = 64,
+    row_tolerance: float = 2.0,
+) -> Tuple[Matches, jax.Array]:
+    """Rectified-stereo matching: same row (±tol), positive bounded disparity,
+    same-or-adjacent pyramid level. Returns matches and per-row disparity."""
+    dv = jnp.abs(xy_l[:, None, 1] - xy_r[None, :, 1])
+    disp = xy_l[:, None, 0] - xy_r[None, :, 0]
+    lvl_ok = jnp.abs(level_l[:, None] - level_r[None, :]) <= 1
+    ok = (dv <= row_tolerance) & (disp > 0.1) & (disp < max_disparity) & lvl_ok
+    dist = jnp.where(ok, dist, BIG)
+    m = match_ratio(dist, max_distance=max_distance, ratio=0.95, mutual=False)
+    disparity = jnp.take_along_axis(disp, m.idx_b[:, None], axis=1)[:, 0]
+    return m, jnp.where(m.valid, disparity, 0.0)
+
+
+def scatter_matches(m: Matches, nb: int) -> jax.Array:
+    """Invert matches: (Nb,) int32 row index per column, -1 where unmatched.
+
+    When two rows claim one column, the lower row index wins (deterministic).
+    """
+    na = m.idx_b.shape[0]
+    out = jnp.full((nb,), jnp.int32(na))
+    rows = jnp.arange(na, dtype=jnp.int32)
+    cols = jnp.where(m.valid, m.idx_b, nb)  # invalid -> dropped bucket
+    padded = jnp.full((nb + 1,), jnp.int32(na))
+    padded = padded.at[cols].min(rows, mode="drop")
+    out = padded[:nb]
+    return jnp.where(out < na, out, -1)

@@ -1,0 +1,98 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fitslam_tpu.ops import matching, orb
+
+
+def _blob_image(h=120, w=160, n=25, seed=0):
+    """Random bright square blobs on a dark background — strong corners."""
+    rng = np.random.RandomState(seed)
+    img = rng.uniform(0, 5, (h, w)).astype(np.float32)
+    centers = []
+    for _ in range(n):
+        y = rng.randint(20, h - 20)
+        x = rng.randint(20, w - 20)
+        s = rng.randint(3, 6)
+        img[y - s : y + s, x - s : x + s] = rng.uniform(120, 250)
+        centers.append((x, y))
+    return jnp.asarray(img), np.array(centers)
+
+
+def _extract(img, n=128):
+    return orb.extract_orb(img, num_features=n, num_levels=2, scale_factor=1.5,
+                           fast_threshold=20.0)
+
+
+def test_fast_finds_blob_corners():
+    img, centers = _blob_image()
+    feats = _extract(img)
+    assert int(feats.valid.sum()) > 20
+    xy = np.asarray(feats.xy[np.asarray(feats.valid)])
+    # every detected keypoint should be near some blob corner (within blob size)
+    d = np.linalg.norm(xy[:, None, :] - centers[None, :, :], axis=-1).min(axis=1)
+    assert np.median(d) < 8.0
+
+
+def test_descriptors_match_under_translation():
+    img, _ = _blob_image()
+    shift = 6
+    img2 = jnp.roll(img, shift, axis=1)  # translate right by 6 px
+    f1 = _extract(img)
+    f2 = _extract(img2)
+    dist = matching.hamming_matrix(f1.desc, f2.desc, f1.valid, f2.valid)
+    m = matching.match_ratio(dist, max_distance=60, ratio=0.9)
+    assert int(m.valid.sum()) > 10
+    # matched displacement should be ~ (shift, 0)
+    dxy = np.asarray(f2.xy[np.asarray(m.idx_b)] - f1.xy)[np.asarray(m.valid)]
+    med = np.median(dxy, axis=0)
+    assert abs(med[0] - shift) < 1.5
+    assert abs(med[1]) < 1.5
+
+
+def test_descriptor_rotation_tolerance():
+    img, _ = _blob_image(seed=3)
+    img2 = jnp.rot90(img, k=1)  # 90 deg rotation
+    f1 = _extract(img)
+    f2 = _extract(img2)
+    dist = matching.hamming_matrix(f1.desc, f2.desc, f1.valid, f2.valid)
+    m = matching.match_ratio(dist, max_distance=60, ratio=0.9)
+    # rBRIEF should still match a healthy number of features at 90 deg
+    assert int(m.valid.sum()) > 8
+
+
+def test_match_masks_invalid():
+    key = jax.random.PRNGKey(0)
+    desc = jax.random.randint(key, (32, 8), 0, 2**31 - 1, dtype=jnp.int32).astype(jnp.uint32)
+    valid = jnp.ones((32,), bool).at[5].set(False)
+    dist = matching.hamming_matrix(desc, desc, valid, valid)
+    m = matching.match_ratio(dist, max_distance=64, ratio=0.99)
+    # identity matching: each valid row matches itself
+    ok = np.asarray(m.valid)
+    assert not ok[5]
+    idx = np.asarray(m.idx_b)
+    assert np.all(idx[ok] == np.arange(32)[ok])
+
+
+def test_match_windowed_restricts_radius():
+    key = jax.random.PRNGKey(1)
+    desc = jax.random.randint(key, (16, 8), 0, 2**31 - 1, dtype=jnp.int32).astype(jnp.uint32)
+    valid = jnp.ones((16,), bool)
+    xy_a = jnp.zeros((16, 2)) + jnp.arange(16)[:, None] * 100.0
+    xy_b = xy_a + 5.0
+    dist = matching.hamming_matrix(desc, desc, valid, valid)
+    m = matching.match_windowed(dist, xy_a, xy_b, radius=20.0, max_distance=64, ratio=0.99)
+    assert np.all(np.asarray(m.idx_b[m.valid]) == np.asarray(jnp.arange(16)[m.valid]))
+    m2 = matching.match_windowed(dist, xy_a, xy_b, radius=1.0, max_distance=64, ratio=0.99)
+    assert int(m2.valid.sum()) == 0
+
+
+def test_scatter_matches_deterministic():
+    idx_b = jnp.asarray([3, 3, 1, 0], jnp.int32)
+    valid = jnp.asarray([True, True, True, False])
+    m = matching.Matches(idx_b, jnp.zeros(4, jnp.int32), valid)
+    inv = np.asarray(matching.scatter_matches(m, 5))
+    assert inv[3] == 0      # lowest row wins the contested column
+    assert inv[1] == 2
+    assert inv[0] == -1     # row 3 was invalid
+    assert inv[2] == -1 and inv[4] == -1
