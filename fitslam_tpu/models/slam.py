@@ -1,0 +1,155 @@
+"""The stereo/RGB-D SLAM engine: host orchestration of the jitted stages.
+
+This is the API layer replacing orb_slam3_ros2_wrapper (SURVEY.md §2.1 S2):
+it owns the map + tracking state, runs the per-frame pipeline, exposes the
+`get_landmarks_in_view` / `get_map_data` service surface as methods, and
+publishes keyframe events to downstream consumers (traversability fusion,
+roadmap) via plain callbacks. All numerics stay on device; only scalar
+decisions (keyframe? lost?) sync to host — the jit analog of the reference's
+tracking / local-mapping thread split.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fitslam_tpu.ops import lie
+from fitslam_tpu.ops.geometry import Intrinsics
+from fitslam_tpu.ops.place import signature_from_descriptors
+from fitslam_tpu.models import slam_map as sm
+from fitslam_tpu.models import tracking as tr
+from fitslam_tpu.utils.config import FitSlamConfig
+from fitslam_tpu.utils.profiling import EventLogger, MODULE
+
+
+class StereoSlam:
+    """Stereo SLAM system with fixed-capacity device state."""
+
+    def __init__(self, cfg: FitSlamConfig, event_logger: Optional[EventLogger] = None):
+        self.cfg = cfg
+        self.K = Intrinsics.from_config(cfg.camera)
+        mp = cfg.mapping
+        self.map = sm.empty_map(
+            mp.max_keyframes, mp.max_landmarks, mp.max_observations,
+            signature_dim=cfg.loop.vocab_dim,
+        )
+        self.state = tr.init_track_state()
+        self.frame_id = 0
+        self.trajectory: List[np.ndarray] = []   # T_wc 4x4 per frame
+        self.keyframe_events: List[Callable] = []
+        self.log = event_logger or EventLogger(time_tier=MODULE)
+        self._initialized = False
+
+    # ------------------------------------------------------------------
+    # Frame pipeline
+    # ------------------------------------------------------------------
+
+    def process_frame(self, img_left, img_right) -> Dict:
+        """Track one stereo frame; returns per-frame diagnostics."""
+        cfg = self.cfg
+        with self.log.scope("frontend.orb", MODULE):
+            frame = tr.process_stereo(
+                self.K, img_left, img_right,
+                num_features=cfg.orb.num_features,
+                num_levels=cfg.orb.num_levels,
+                scale_factor=cfg.orb.scale_factor,
+                fast_threshold=cfg.orb.fast_threshold,
+            )
+            jax.block_until_ready(frame.depth)
+        return self.process_prepared(frame)
+
+    def process_prepared(self, frame: tr.StereoFrame) -> Dict:
+        """Track an already-extracted frame (used by tests and replays)."""
+        cfg = self.cfg
+        info: Dict = {"frame_id": self.frame_id, "keyframe": False, "lost": False}
+
+        if not self._initialized:
+            self._insert_kf(frame, lm_match=-jnp.ones(frame.feats.capacity, jnp.int32))
+            self.state = tr.mark_keyframe(self.state, jnp.int32(0))
+            self._initialized = True
+            info["keyframe"] = True
+            info["n_inliers"] = 0
+        else:
+            with self.log.scope("tracking", MODULE):
+                self.state, lm_match, n_inl = tr.track_frame(
+                    self.K, self.map, self.state, frame,
+                    search_radius=cfg.tracking.search_radius_px,
+                    match_max_hamming=cfg.tracking.match_max_hamming,
+                    min_inliers=cfg.tracking.min_inliers,
+                    width=cfg.camera.width, height=cfg.camera.height,
+                    pose_iters=cfg.tracking.pose_gn_iters,
+                )
+                n_inl_host = int(n_inl)
+            info["n_inliers"] = n_inl_host
+            info["lost"] = n_inl_host < cfg.tracking.min_inliers
+
+            need = tr.need_keyframe(
+                self.state, n_inl,
+                cfg.tracking.keyframe_min_interval,
+                cfg.tracking.keyframe_translation,
+                cfg.tracking.keyframe_rotation,
+                cfg.tracking.keyframe_min_tracked_ratio,
+            )
+            if bool(need) and int(self.map.n_kf) < cfg.mapping.max_keyframes:
+                self._insert_kf(frame, lm_match)
+                self.state = tr.mark_keyframe(self.state, n_inl)
+                info["keyframe"] = True
+                with self.log.scope("local_ba", MODULE):
+                    self.map = sm.local_ba(
+                        self.map, self.K,
+                        window=cfg.mapping.local_window,
+                        max_obs_local=min(8192, cfg.mapping.max_observations),
+                        iters=cfg.mapping.ba_iters,
+                    )
+                    jax.block_until_ready(self.map.lm_pos)
+                self.map = sm.cull_landmarks(self.map, cfg.mapping.cull_min_observations)
+                # sync tracker pose to the BA-refined keyframe pose
+                kf_idx = int(self.map.n_kf) - 1
+                T = lie.SE3(self.map.kf_T_cw.R[kf_idx], self.map.kf_T_cw.t[kf_idx])
+                self.state = self.state._replace(T_cw=T, T_cw_last_kf=T)
+
+        T_wc = lie.inverse(self.state.T_cw)
+        self.trajectory.append(np.asarray(T_wc.matrix()))
+        self.frame_id += 1
+        return info
+
+    def _insert_kf(self, frame: tr.StereoFrame, lm_match):
+        with self.log.scope("keyframe_insert", MODULE):
+            sig = signature_from_descriptors(frame.feats.desc, frame.feats.valid)
+            self.map = sm.insert_keyframe(
+                self.map, self.K, self.state.T_cw, frame.feats, frame.depth,
+                lm_match, jnp.int32(self.frame_id), sig,
+                scale_factor=self.cfg.orb.scale_factor,
+            )
+        for cb in self.keyframe_events:
+            cb(self, int(self.map.n_kf) - 1)
+
+    # ------------------------------------------------------------------
+    # Service surface (reference: slam_msgs services, SURVEY.md §1 L2→up)
+    # ------------------------------------------------------------------
+
+    def get_landmarks_in_view(self, T_wc: lie.SE3, max_distance: float = 14.0):
+        """`orb_slam3/get_landmarks_in_view` equivalent: camera-frame landmark
+        positions + mask (FisherInfoManager.cpp:60-78 call contract)."""
+        return sm.landmarks_in_view(
+            self.map, self.K, T_wc, jnp.float32(max_distance),
+            self.cfg.camera.width, self.cfg.camera.height,
+        )
+
+    def get_map_data(self):
+        """`orb_slam3_get_map_data` equivalent: keyframe graph + landmarks."""
+        n_kf = int(self.map.n_kf)
+        return {
+            "kf_poses_T_cw": jax.tree.map(lambda a: a[:n_kf], self.map.kf_T_cw),
+            "kf_frame_ids": self.map.kf_frame_id[:n_kf],
+            "landmarks": self.map.lm_pos,
+            "landmarks_valid": self.map.lm_valid,
+        }
+
+    @property
+    def current_pose_wc(self) -> lie.SE3:
+        return lie.inverse(self.state.T_cw)

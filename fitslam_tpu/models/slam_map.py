@@ -1,0 +1,320 @@
+"""Fixed-capacity SLAM map state (the ORB-SLAM3 Atlas/Map analog).
+
+The reference's map is pointer-linked C++ objects (KeyFrames, MapPoints,
+observations) mutated by three threads (SURVEY.md §2.1 S1, §2.5). Here the
+map is a single immutable pytree of fixed-capacity arrays with validity
+masks and scalar counters; every mutation is a pure jitted function
+returning a new map. This is what makes local BA, loop closure, and the
+landmarks-in-view service (SURVEY.md §1 L2→up `GetLandmarksInView`) plain
+batched kernels.
+
+Landmarks store both a world position and their position in the anchor
+keyframe's camera frame — the same loop-closure-consistency device the
+reference uses for its roadmap (FrontierRoadmap.cpp:118-127): after pose-graph
+optimization, world positions are recomputed from the (updated) anchor poses
+by one batched transform.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fitslam_tpu.ops import lie
+from fitslam_tpu.ops.ba import Observations
+from fitslam_tpu.ops.geometry import Intrinsics, backproject
+from fitslam_tpu.ops.orb import FrameFeatures
+
+
+class SlamMap(NamedTuple):
+    # --- keyframes (capacity K) ---
+    kf_T_cw: lie.SE3          # (K,) camera-from-world
+    kf_valid: jax.Array       # (K,) bool
+    kf_frame_id: jax.Array    # (K,) int32 source frame index
+    kf_signature: jax.Array   # (K, D) float32 place-recognition signature
+    # --- landmarks (capacity L) ---
+    lm_pos: jax.Array         # (L, 3) world
+    lm_desc: jax.Array        # (L, 8) uint32 representative descriptor
+    lm_valid: jax.Array       # (L,) bool
+    lm_nobs: jax.Array        # (L,) int32
+    lm_anchor_kf: jax.Array   # (L,) int32
+    lm_pos_anchor: jax.Array  # (L, 3) position in anchor-KF camera frame
+    # --- observations (capacity O) ---
+    obs_kf: jax.Array         # (O,) int32
+    obs_lm: jax.Array         # (O,) int32
+    obs_uvr: jax.Array        # (O, 3)
+    obs_sigma2: jax.Array     # (O,)
+    obs_valid: jax.Array      # (O,) bool
+    # --- counters ---
+    n_kf: jax.Array           # () int32
+    n_lm: jax.Array           # () int32
+    n_obs: jax.Array          # () int32
+
+    @property
+    def capacity(self) -> Tuple[int, int, int]:
+        return (
+            self.kf_valid.shape[0],
+            self.lm_valid.shape[0],
+            self.obs_valid.shape[0],
+        )
+
+
+def empty_map(max_keyframes: int, max_landmarks: int, max_observations: int,
+              signature_dim: int = 256) -> SlamMap:
+    K, L, O = max_keyframes, max_landmarks, max_observations
+    return SlamMap(
+        kf_T_cw=lie.SE3.identity((K,)),
+        kf_valid=jnp.zeros((K,), bool),
+        kf_frame_id=jnp.zeros((K,), jnp.int32),
+        kf_signature=jnp.zeros((K, signature_dim), jnp.float32),
+        lm_pos=jnp.zeros((L, 3), jnp.float32),
+        lm_desc=jnp.zeros((L, 8), jnp.uint32),
+        lm_valid=jnp.zeros((L,), bool),
+        lm_nobs=jnp.zeros((L,), jnp.int32),
+        lm_anchor_kf=jnp.zeros((L,), jnp.int32),
+        lm_pos_anchor=jnp.zeros((L, 3), jnp.float32),
+        obs_kf=jnp.zeros((O,), jnp.int32),
+        obs_lm=jnp.zeros((O,), jnp.int32),
+        obs_uvr=jnp.zeros((O, 3), jnp.float32),
+        obs_sigma2=jnp.ones((O,), jnp.float32),
+        obs_valid=jnp.zeros((O,), bool),
+        n_kf=jnp.int32(0),
+        n_lm=jnp.int32(0),
+        n_obs=jnp.int32(0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyframe insertion
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("scale_factor",))
+def insert_keyframe(
+    m: SlamMap,
+    K: Intrinsics,
+    T_cw: lie.SE3,
+    feats: FrameFeatures,
+    depth: jax.Array,          # (N,) stereo depth per feature (0 = none)
+    lm_match: jax.Array,       # (N,) int32 landmark idx matched in tracking, -1 = none
+    frame_id: jax.Array,
+    signature: jax.Array,      # (D,) place-recognition signature
+    scale_factor: float = 1.4142135,
+) -> SlamMap:
+    """Append a keyframe: record observations of matched landmarks, spawn new
+    landmarks from unmatched features that carry stereo depth.
+
+    Fully fixed-shape: up to N observation slots for matches plus up to N for
+    spawns are claimed with prefix sums; overflow beyond capacity is dropped
+    (mode='drop'), mirroring the reference's bounded local map.
+    """
+    N = feats.xy.shape[0]
+    kf_idx = m.n_kf
+    K_cap, L_cap, O_cap = m.capacity
+
+    sigma2 = (scale_factor ** feats.level.astype(jnp.float32)) ** 2
+
+    # -- keyframe record --
+    m = m._replace(
+        kf_T_cw=lie.SE3(
+            m.kf_T_cw.R.at[kf_idx].set(T_cw.R), m.kf_T_cw.t.at[kf_idx].set(T_cw.t)
+        ),
+        kf_valid=m.kf_valid.at[kf_idx].set(True),
+        kf_frame_id=m.kf_frame_id.at[kf_idx].set(frame_id.astype(jnp.int32)),
+        kf_signature=m.kf_signature.at[kf_idx].set(signature),
+    )
+
+    u_r = jnp.where(
+        depth > 1e-3, feats.xy[:, 0] - K.bf / jnp.maximum(depth, 1e-3), -1.0
+    )
+    uvr = jnp.concatenate([feats.xy, u_r[:, None]], axis=-1)  # u_r < 0 = mono
+
+    # -- observations of already-mapped landmarks --
+    matched = feats.valid & (lm_match >= 0)
+    slot_m = m.n_obs + jnp.cumsum(matched.astype(jnp.int32)) - 1
+    slot_m = jnp.where(matched, slot_m, O_cap)  # dropped if not matched
+    m = m._replace(
+        obs_kf=m.obs_kf.at[slot_m].set(kf_idx, mode="drop"),
+        obs_lm=m.obs_lm.at[slot_m].set(jnp.maximum(lm_match, 0), mode="drop"),
+        obs_uvr=m.obs_uvr.at[slot_m].set(uvr, mode="drop"),
+        obs_sigma2=m.obs_sigma2.at[slot_m].set(sigma2, mode="drop"),
+        obs_valid=m.obs_valid.at[slot_m].set(True, mode="drop"),
+        lm_nobs=m.lm_nobs.at[jnp.where(matched, lm_match, L_cap)].add(1, mode="drop"),
+    )
+    n_obs_after_m = jnp.minimum(m.n_obs + jnp.sum(matched.astype(jnp.int32)), O_cap)
+
+    # -- spawn new landmarks from unmatched stereo features --
+    spawn = feats.valid & (lm_match < 0) & (depth > 1e-3)
+    lm_slot = m.n_lm + jnp.cumsum(spawn.astype(jnp.int32)) - 1
+    in_cap = lm_slot < L_cap
+    spawn = spawn & in_cap
+    lm_slot_w = jnp.where(spawn, lm_slot, L_cap)
+
+    T_wc = lie.inverse(T_cw)
+    p_c = backproject(K, feats.xy, depth)
+    p_w = lie.apply(T_wc, p_c)
+
+    m = m._replace(
+        lm_pos=m.lm_pos.at[lm_slot_w].set(p_w, mode="drop"),
+        lm_desc=m.lm_desc.at[lm_slot_w].set(feats.desc, mode="drop"),
+        lm_valid=m.lm_valid.at[lm_slot_w].set(True, mode="drop"),
+        lm_nobs=m.lm_nobs.at[lm_slot_w].set(1, mode="drop"),
+        lm_anchor_kf=m.lm_anchor_kf.at[lm_slot_w].set(kf_idx, mode="drop"),
+        lm_pos_anchor=m.lm_pos_anchor.at[lm_slot_w].set(p_c, mode="drop"),
+    )
+
+    # observations for the spawned landmarks
+    slot_s = n_obs_after_m + jnp.cumsum(spawn.astype(jnp.int32)) - 1
+    slot_s = jnp.where(spawn, slot_s, O_cap)
+    m = m._replace(
+        obs_kf=m.obs_kf.at[slot_s].set(kf_idx, mode="drop"),
+        obs_lm=m.obs_lm.at[slot_s].set(jnp.where(spawn, lm_slot, 0), mode="drop"),
+        obs_uvr=m.obs_uvr.at[slot_s].set(uvr, mode="drop"),
+        obs_sigma2=m.obs_sigma2.at[slot_s].set(sigma2, mode="drop"),
+        obs_valid=m.obs_valid.at[slot_s].set(True, mode="drop"),
+    )
+
+    n_spawn = jnp.sum(spawn.astype(jnp.int32))
+    return m._replace(
+        n_kf=jnp.minimum(m.n_kf + 1, K_cap),
+        n_lm=jnp.minimum(m.n_lm + n_spawn, L_cap),
+        n_obs=jnp.minimum(n_obs_after_m + n_spawn, O_cap),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def landmarks_in_view(
+    m: SlamMap,
+    K: Intrinsics,
+    T_wc: lie.SE3,
+    max_distance: float,
+    width: int = 640,
+    height: int = 480,
+) -> Tuple[jax.Array, jax.Array]:
+    """The `orb_slam3/get_landmarks_in_view` service as a batched kernel
+    (reference call site: FisherInfoManager.cpp:60-78).
+
+    Returns (p_c (L, 3) camera-frame positions, mask (L,) bool).
+    """
+    T_cw = lie.inverse(T_wc)
+    p_c = lie.apply(T_cw, m.lm_pos)
+    z = p_c[..., 2]
+    u = K.fx * p_c[..., 0] / jnp.where(z > 1e-3, z, 1.0) + K.cx
+    v = K.fy * p_c[..., 1] / jnp.where(z > 1e-3, z, 1.0) + K.cy
+    dist = jnp.linalg.norm(p_c, axis=-1)
+    ok = (
+        m.lm_valid
+        & (z > 1e-3)
+        & (dist < max_distance)
+        & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+    )
+    return p_c, ok
+
+
+@jax.jit
+def reanchor_landmarks(m: SlamMap) -> SlamMap:
+    """Recompute world landmark positions from anchor keyframes' (possibly
+    loop-corrected) poses — the map-consistency propagation of SURVEY.md §3.4
+    as one batched transform."""
+    T_anchor_cw = lie.SE3(m.kf_T_cw.R[m.lm_anchor_kf], m.kf_T_cw.t[m.lm_anchor_kf])
+    T_anchor_wc = lie.inverse(T_anchor_cw)
+    # rowwise: (L,) SE3 batch applied to (L, 3)
+    p_w = (T_anchor_wc.R @ m.lm_pos_anchor[..., :, None])[..., 0] + T_anchor_wc.t
+    return m._replace(lm_pos=jnp.where(m.lm_valid[:, None], p_w, m.lm_pos))
+
+
+@jax.jit
+def cull_landmarks(m: SlamMap, min_obs: int = 2, grace_kf: int = 2) -> SlamMap:
+    """Invalidate under-observed landmarks once their anchor KF is old enough
+    (reference capability: ORB-SLAM3 MapPoint culling in local mapping)."""
+    old_enough = (m.n_kf - m.lm_anchor_kf) > grace_kf
+    bad = m.lm_valid & old_enough & (m.lm_nobs < min_obs)
+    lm_valid = m.lm_valid & jnp.logical_not(bad)
+    obs_valid = m.obs_valid & lm_valid[m.obs_lm]
+    return m._replace(lm_valid=lm_valid, obs_valid=obs_valid)
+
+
+def gather_window_problem(
+    m: SlamMap,
+    window: int,
+    max_obs_local: int,
+):
+    """Select observations of the last `window` keyframes into a fixed-size
+    local BA problem. Returns (BAProblem-ready pieces, local window start).
+
+    Landmarks anchored outside the window are held fixed — they are the
+    anchor to the past that replaces ORB-SLAM3's fixed covisible keyframes.
+    """
+    from fitslam_tpu.ops.ba import BAProblem
+
+    start = jnp.maximum(m.n_kf - window, 0)
+    in_win = m.obs_valid & (m.obs_kf >= start)
+    idx = jnp.nonzero(in_win, size=max_obs_local, fill_value=m.obs_valid.shape[0] - 1)[0]
+    sel_valid = in_win[idx]
+
+    local_kf = jnp.clip(m.obs_kf[idx] - start, 0, window - 1)
+    obs = Observations(
+        kf=local_kf.astype(jnp.int32),
+        lm=m.obs_lm[idx],
+        uvr=m.obs_uvr[idx],
+        sigma2=m.obs_sigma2[idx],
+        valid=sel_valid,
+    )
+    # window poses (gather `window` consecutive slots)
+    w_idx = start + jnp.arange(window)
+    w_idx = jnp.minimum(w_idx, m.kf_valid.shape[0] - 1)
+    T_win = lie.SE3(m.kf_T_cw.R[w_idx], m.kf_T_cw.t[w_idx])
+    kf_exists = (w_idx < m.n_kf) & m.kf_valid[w_idx]
+    # gauge: oldest window KF fixed; also fix any empty slots
+    fixed_kf = jnp.logical_not(kf_exists) | (jnp.arange(window) == 0)
+    anchored_outside = m.lm_anchor_kf < start
+    fixed_lm = jnp.logical_not(m.lm_valid) | anchored_outside
+
+    prob = BAProblem(
+        T_cw=T_win, points=m.lm_pos, obs=obs, fixed_kf=fixed_kf, fixed_lm=fixed_lm
+    )
+    return prob, start, w_idx
+
+
+@partial(jax.jit, static_argnames=("window", "max_obs_local", "iters"))
+def local_ba(
+    m: SlamMap,
+    K: Intrinsics,
+    window: int = 8,
+    max_obs_local: int = 8192,
+    iters: int = 5,
+) -> SlamMap:
+    """Local bundle adjustment over the last `window` keyframes.
+
+    Reference capability: ORB-SLAM3 LocalMapping::LocalBA (submodule; the
+    'sharded Schur' north star of BASELINE.json maps this over devices).
+    """
+    from fitslam_tpu.ops import ba as ba_mod
+
+    prob, start, w_idx = gather_window_problem(m, window, max_obs_local)
+    out, _ = ba_mod.bundle_adjust(K, prob, iters=iters, damping=1e-3)
+
+    # scatter optimized window poses back (only slots that actually exist)
+    exists = ((w_idx < m.n_kf) & m.kf_valid[w_idx])[:, None]
+    R = m.kf_T_cw.R.at[w_idx].set(jnp.where(exists[..., None], out.T_cw.R, m.kf_T_cw.R[w_idx]))
+    t = m.kf_T_cw.t.at[w_idx].set(jnp.where(exists, out.T_cw.t, m.kf_T_cw.t[w_idx]))
+    pts = jnp.where(m.lm_valid[:, None], out.points, m.lm_pos)
+    m = m._replace(kf_T_cw=lie.SE3(R, t), lm_pos=pts)
+
+    # refresh anchor-frame positions for landmarks anchored inside the window
+    # (their anchors just moved)
+    anchor_T = lie.SE3(m.kf_T_cw.R[m.lm_anchor_kf], m.kf_T_cw.t[m.lm_anchor_kf])
+    p_anchor = (anchor_T.R @ m.lm_pos[..., :, None])[..., 0] + anchor_T.t
+    in_win = m.lm_anchor_kf >= start
+    m = m._replace(
+        lm_pos_anchor=jnp.where((m.lm_valid & in_win)[:, None], p_anchor, m.lm_pos_anchor)
+    )
+    return m

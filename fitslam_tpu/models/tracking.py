@@ -1,0 +1,174 @@
+"""Frame tracking: stereo frontend + motion-model pose tracking.
+
+Reference capability: ORB-SLAM3's Tracking thread (submodule; SURVEY.md §2.1
+S1) — ORB extraction, stereo matching, constant-velocity motion model,
+projection-guided landmark association, motion-only BA, keyframe decision.
+Here each stage is one jitted fixed-shape kernel and the per-frame "thread"
+is a pure function `(state, frame) -> (state, outputs)`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fitslam_tpu.ops import ba, lie, matching, orb
+from fitslam_tpu.ops.geometry import Intrinsics, backproject, depth_from_disparity
+from fitslam_tpu.models.slam_map import SlamMap, landmarks_in_view
+
+
+class StereoFrame(NamedTuple):
+    """Processed stereo frame: left features + per-feature depth."""
+
+    feats: orb.FrameFeatures
+    depth: jax.Array  # (N,) float32; 0 where no stereo match
+
+
+class TrackState(NamedTuple):
+    T_cw: lie.SE3            # current camera-from-world
+    velocity: jax.Array      # (6,) tangent increment per frame
+    T_cw_last_kf: lie.SE3
+    frames_since_kf: jax.Array   # () int32
+    kf_ref_inliers: jax.Array    # () int32 — inliers when last KF was made
+    initialized: jax.Array       # () bool
+
+
+def init_track_state() -> TrackState:
+    return TrackState(
+        T_cw=lie.SE3.identity(),
+        velocity=jnp.zeros((6,)),
+        T_cw_last_kf=lie.SE3.identity(),
+        frames_since_kf=jnp.int32(0),
+        kf_ref_inliers=jnp.int32(0),
+        initialized=jnp.bool_(False),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_features", "num_levels", "scale_factor", "fast_threshold"),
+)
+def process_stereo(
+    K: Intrinsics,
+    img_left: jax.Array,
+    img_right: jax.Array,
+    num_features: int = 1024,
+    num_levels: int = 4,
+    scale_factor: float = 1.4142135,
+    fast_threshold: float = 20.0,
+) -> StereoFrame:
+    """Extract ORB on both images and stereo-match for per-feature depth."""
+    fl = orb.extract_orb(img_left, num_features, num_levels, scale_factor, fast_threshold)
+    fr = orb.extract_orb(img_right, num_features, num_levels, scale_factor, fast_threshold)
+    dist = matching.hamming_matrix(fl.desc, fr.desc, fl.valid, fr.valid)
+    max_disp = K.bf / 0.3  # depth >= 0.3 m
+    _, disparity = matching.match_stereo(
+        dist, fl.xy, fr.xy, fl.level, fr.level, max_disparity=max_disp
+    )
+    return StereoFrame(fl, depth_from_disparity(K, disparity))
+
+
+@partial(jax.jit, static_argnames=("width", "height", "pose_iters"))
+def track_frame(
+    K: Intrinsics,
+    m: SlamMap,
+    state: TrackState,
+    frame: StereoFrame,
+    search_radius: float = 24.0,
+    wide_radius: float = 72.0,
+    match_max_hamming: int = 64,
+    min_inliers: int = 15,
+    width: int = 640,
+    height: int = 480,
+    pose_iters: int = 8,
+) -> Tuple[TrackState, jax.Array, jax.Array]:
+    """One tracking step.
+
+    Returns (new_state, lm_match (N,) int32 landmark index per feature
+    (-1 = unmatched), inlier count). The relocalization fallback (wide-window
+    re-match at the same predicted pose) runs branchlessly and is selected
+    when the narrow window fails — the jit analog of the reference's
+    track-lost recovery ladder.
+    """
+    feats = frame.feats
+    T_pred = lie.compose(lie.se3_exp(state.velocity), state.T_cw)
+
+    # landmark visibility at predicted pose
+    T_wc_pred = lie.inverse(T_pred)
+    p_c, vis = landmarks_in_view(m, K, T_wc_pred, jnp.float32(40.0), width, height)
+    z_safe = jnp.where(p_c[..., 2] > 1e-3, p_c[..., 2], 1.0)
+    lm_uv = jnp.stack(
+        [K.fx * p_c[..., 0] / z_safe + K.cx, K.fy * p_c[..., 1] / z_safe + K.cy],
+        axis=-1,
+    )
+
+    dist = matching.hamming_matrix(feats.desc, m.lm_desc, feats.valid, vis)
+
+    def associate(radius):
+        mt = matching.match_windowed(
+            dist, feats.xy, lm_uv, radius, max_distance=match_max_hamming, ratio=0.9
+        )
+        u_r = jnp.where(
+            frame.depth > 1e-3,
+            feats.xy[:, 0] - K.bf / jnp.maximum(frame.depth, 1e-3),
+            -1.0,
+        )
+        uvr = jnp.concatenate([feats.xy, u_r[:, None]], axis=-1)
+        pts = m.lm_pos[mt.idx_b]
+        sigma2 = jnp.ones((feats.xy.shape[0],))
+        T_new, inl, chi2 = ba.solve_pose(
+            K, T_pred, pts, uvr, sigma2, mt.valid, iters=pose_iters
+        )
+        return mt, T_new, inl
+
+    mt_n, T_n, inl_n = associate(search_radius)
+    mt_w, T_w, inl_w = associate(wide_radius)
+    narrow_ok = jnp.sum(inl_n) >= min_inliers
+    mt, T_new, inl = jax.tree.map(
+        lambda a, b: jnp.where(narrow_ok, a, b), (mt_n, T_n, inl_n), (mt_w, T_w, inl_w)
+    )
+    n_inl = jnp.sum(inl).astype(jnp.int32)
+    tracked_ok = n_inl >= min_inliers
+    # if tracking failed entirely, fall back to pure motion-model pose
+    T_out = jax.tree.map(lambda a, b: jnp.where(tracked_ok, a, b), T_new, T_pred)
+
+    vel = lie.se3_log(lie.compose(T_out, lie.inverse(state.T_cw)))
+    lm_match = jnp.where(mt.valid & inl, mt.idx_b, -1)
+
+    new_state = state._replace(
+        T_cw=T_out,
+        velocity=vel,
+        frames_since_kf=state.frames_since_kf + 1,
+    )
+    return new_state, lm_match, n_inl
+
+
+def need_keyframe(
+    state: TrackState,
+    n_inliers: jax.Array,
+    min_interval: int,
+    translation_thresh: float,
+    rotation_thresh: float,
+    min_tracked_ratio: float,
+) -> jax.Array:
+    """Keyframe decision (scalar bool on device; host pulls it)."""
+    d = lie.se3_log(lie.compose(state.T_cw, lie.inverse(state.T_cw_last_kf)))
+    trans = jnp.linalg.norm(d[:3])
+    rot = jnp.linalg.norm(d[3:])
+    weak = n_inliers.astype(jnp.float32) < min_tracked_ratio * jnp.maximum(
+        state.kf_ref_inliers.astype(jnp.float32), 1.0
+    )
+    moved = (trans > translation_thresh) | (rot > rotation_thresh)
+    return (state.frames_since_kf >= min_interval) & (moved | weak)
+
+
+def mark_keyframe(state: TrackState, n_inliers: jax.Array) -> TrackState:
+    return state._replace(
+        T_cw_last_kf=state.T_cw,
+        frames_since_kf=jnp.int32(0),
+        kf_ref_inliers=n_inliers.astype(jnp.int32),
+        initialized=jnp.bool_(True),
+    )

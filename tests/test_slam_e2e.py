@@ -1,0 +1,99 @@
+"""End-to-end stereo SLAM on a rendered synthetic corridor.
+
+The synthetic-world analog of the reference's indoor-corridor sequence
+(BASELINE.json configs[0]): dense rendered stereo frames -> ORB -> tracking
+-> keyframes -> local BA, checked by ATE against ground truth.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fitslam_tpu.data import synthetic
+from fitslam_tpu.models.slam import StereoSlam
+from fitslam_tpu.ops import lie
+from fitslam_tpu.ops.geometry import Intrinsics
+from fitslam_tpu.utils import evaluation as ev
+from fitslam_tpu.utils.config import FitSlamConfig
+
+W, H = 320, 240
+
+
+def _small_cfg() -> FitSlamConfig:
+    cfg = FitSlamConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        camera=dataclasses.replace(
+            cfg.camera, width=W, height=H, fx=200.0, fy=200.0, cx=W / 2, cy=H / 2,
+            baseline=0.2,
+        ),
+        orb=dataclasses.replace(cfg.orb, num_features=384, num_levels=2, fast_threshold=12.0),
+        tracking=dataclasses.replace(
+            cfg.tracking, min_inliers=12, keyframe_min_interval=2,
+            keyframe_translation=0.3,
+        ),
+        mapping=dataclasses.replace(
+            cfg.mapping, max_keyframes=32, max_landmarks=2048, max_observations=8192,
+            local_window=4, ba_iters=4,
+        ),
+    )
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def corridor_run():
+    cfg = _small_cfg()
+    K = Intrinsics.from_config(cfg.camera)
+    key = jax.random.PRNGKey(42)
+    world = synthetic.corridor_world(key, num=1200, length=25.0, width=5.0)
+    n_frames = 24
+    T_gt = synthetic.straight_trajectory(n_frames, length=4.0, height=1.2, start_x=0.5)
+
+    slam = StereoSlam(cfg)
+    render = jax.jit(
+        lambda R, t: synthetic.render_dense(
+            K, world, lie.SE3(R, t), width=W, height=H, splat_sigma=1.2, max_depth=18.0
+        )
+    )
+    for i in range(n_frames):
+        left, right = render(T_gt.R[i], T_gt.t[i])
+        info = slam.process_frame(left, right)
+    gt = [np.asarray(lie.SE3(T_gt.R[i], T_gt.t[i]).matrix()) for i in range(n_frames)]
+    return slam, gt
+
+
+def test_tracking_not_lost(corridor_run):
+    slam, gt = corridor_run
+    assert slam.frame_id == len(gt)
+    assert int(slam.map.n_kf) >= 3
+    assert int(slam.map.n_lm) > 100
+
+
+def test_ate_within_bound(corridor_run):
+    slam, gt = corridor_run
+    ate = ev.ate_rmse(slam.trajectory, gt)
+    # 4 m of travel on a synthetic blob world; sub-10cm is healthy here
+    assert ate < 0.10, f"ATE {ate:.3f} m"
+
+
+def test_no_alignment_drift_direction(corridor_run):
+    """Unaligned endpoint error should also stay bounded (catches scale/axis
+    convention bugs that Umeyama alignment would mask)."""
+    slam, gt = corridor_run
+    # SLAM frame is anchored at the first camera; move estimates into world
+    anchored = [gt[0] @ T for T in slam.trajectory]
+    ate_raw = ev.ate_rmse(anchored, gt, align=False)
+    assert ate_raw < 0.3, f"unaligned ATE {ate_raw:.3f} m"
+
+
+def test_landmark_service(corridor_run):
+    slam, gt = corridor_run
+    # query in the SLAM frame (anchored at the first camera)
+    T_wc = lie.SE3.from_matrix(jnp.asarray(np.linalg.inv(gt[0]) @ gt[-1], dtype=np.float32))
+    p_c, ok = slam.get_landmarks_in_view(T_wc, max_distance=14.0)
+    assert int(ok.sum()) > 30
+    z = np.asarray(p_c[np.asarray(ok), 2])
+    assert (z > 0).all() and (np.linalg.norm(np.asarray(p_c[np.asarray(ok)]), axis=1) < 14.0).all()
