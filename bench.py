@@ -1,0 +1,112 @@
+"""Benchmark: end-to-end stereo SLAM frames/s per chip on a synthetic corridor.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference (suchetanrs/FIT-SLAM) publishes no numbers
+(BASELINE.md); its SLAM layer is ORB-SLAM3 tracking at camera rate on CPU
+(~30 fps nominal). The driver target is >=2x reference CPU frames/s per chip,
+so vs_baseline is measured against 60 fps.
+"""
+
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BASELINE_FPS = 60.0  # 2x nominal 30 fps CPU reference tracking rate
+W, H = 640, 480
+N_FRAMES = 60
+N_FEATURES = 1024
+N_LEVELS = 4
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fitslam_tpu.data import synthetic
+    from fitslam_tpu.models.slam import StereoSlam
+    from fitslam_tpu.ops import lie
+    from fitslam_tpu.ops.geometry import Intrinsics
+    from fitslam_tpu.utils import evaluation as ev
+    from fitslam_tpu.utils.config import FitSlamConfig
+
+    cfg = FitSlamConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        camera=dataclasses.replace(
+            cfg.camera, width=W, height=H, fx=0.625 * W, fy=0.625 * W,
+            cx=W / 2, cy=H / 2, baseline=0.2,
+        ),
+        orb=dataclasses.replace(
+            cfg.orb, num_features=N_FEATURES, num_levels=N_LEVELS,
+            fast_threshold=12.0,
+        ),
+        tracking=dataclasses.replace(
+            cfg.tracking, min_inliers=12, keyframe_min_interval=2,
+            keyframe_translation=0.3,
+        ),
+        mapping=dataclasses.replace(
+            cfg.mapping, max_keyframes=64, max_landmarks=8192,
+            max_observations=32768, local_window=4, ba_iters=4,
+        ),
+    )
+    K = Intrinsics.from_config(cfg.camera)
+
+    key = jax.random.PRNGKey(42)
+    world = synthetic.corridor_world(key, num=3000, length=40.0, width=5.0)
+    T_gt = synthetic.straight_trajectory(N_FRAMES, length=N_FRAMES * 0.15,
+                                         height=1.2, start_x=0.5)
+
+    render = jax.jit(
+        lambda R, t: synthetic.render_dense(
+            K, world, lie.SE3(R, t), width=W, height=H,
+            splat_sigma=1.2, max_depth=18.0,
+        )
+    )
+    frames = []
+    for i in range(N_FRAMES):
+        l, r = render(T_gt.R[i], T_gt.t[i])
+        frames.append((jax.block_until_ready(l), jax.block_until_ready(r)))
+
+    slam = StereoSlam(cfg)
+    # warmup: first frames trigger compiles of init/track/KF-insert/BA paths
+    for i in range(6):
+        slam.process_frame(*frames[i])
+
+    t0 = time.monotonic()
+    for i in range(6, N_FRAMES):
+        slam.process_frame(*frames[i])
+    wall = time.monotonic() - t0
+    fps = (N_FRAMES - 6) / wall
+
+    gt = [np.asarray(lie.SE3(T_gt.R[i], T_gt.t[i]).matrix()) for i in range(N_FRAMES)]
+    ate = ev.ate_rmse(slam.trajectory, gt)
+
+    print(
+        json.dumps(
+            {
+                "metric": "stereo_slam_frames_per_s_per_chip",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "extra": {
+                    "ate_rmse_m": round(ate, 4),
+                    "n_keyframes": int(slam.map.n_kf),
+                    "n_landmarks": int(slam.map.n_lm),
+                    "resolution": f"{W}x{H}",
+                    "features": N_FEATURES,
+                    "levels": N_LEVELS,
+                    "platform": jax.devices()[0].platform,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

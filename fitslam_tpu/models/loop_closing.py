@@ -1,0 +1,158 @@
+"""Loop detection, geometric verification, and map correction.
+
+Reference capability: ORB-SLAM3's LoopClosing thread (DBoW2 candidate
+retrieval, Sim3/SE3 geometric verification, essential-graph optimization,
+landmark re-projection; submodule, SURVEY.md §2.1 S1, §3.4). TPU-native
+recipe:
+
+- candidate retrieval = signature matvec (ops/place) with a temporal gap,
+- verification = Hamming match of the current keyframe's descriptors against
+  the candidate's landmarks + motion-only GN solve (ops/ba.solve_pose),
+- correction = dense pose-graph GN (ops/pgo) over odometry + loop edges,
+  then one batched re-anchoring of all landmarks (models/slam_map), the same
+  keyframe-frame storage trick the reference uses for its roadmap
+  (FrontierRoadmap.cpp:118-127).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fitslam_tpu.ops import ba, lie, matching, pgo
+from fitslam_tpu.ops.geometry import Intrinsics
+from fitslam_tpu.models import slam_map as sm
+from fitslam_tpu.models.tracking import StereoFrame
+
+
+class LoopCandidate(NamedTuple):
+    kf_idx: jax.Array    # () int32
+    score: jax.Array     # () float32
+
+
+@jax.jit
+def detect_loop(m: sm.SlamMap, signature: jax.Array, current_kf: jax.Array,
+                min_gap: int = 20) -> LoopCandidate:
+    """Best loop candidate by signature similarity with temporal gap."""
+    scores = m.kf_signature @ signature
+    ok = m.kf_valid & (jnp.arange(m.kf_valid.shape[0]) < current_kf - min_gap)
+    scores = jnp.where(ok, scores, -jnp.inf)
+    best = jnp.argmax(scores)
+    return LoopCandidate(best.astype(jnp.int32), scores[best])
+
+
+@jax.jit
+def landmarks_seen_by(m: sm.SlamMap, kf_idx: jax.Array) -> jax.Array:
+    """(L,) bool — landmarks with a valid observation from keyframe kf_idx."""
+    L = m.lm_valid.shape[0]
+    hit = m.obs_valid & (m.obs_kf == kf_idx)
+    mask = jnp.zeros((L,), bool).at[jnp.where(hit, m.obs_lm, L)].set(True, mode="drop")
+    return mask & m.lm_valid
+
+
+@jax.jit
+def verify_loop(
+    K: Intrinsics,
+    m: sm.SlamMap,
+    frame: StereoFrame,
+    cand_kf: jax.Array,
+    max_hamming: int = 64,
+) -> Tuple[lie.SE3, jax.Array]:
+    """Match the current frame against the candidate's landmarks and solve the
+    camera pose those landmarks imply. Returns (T_cw_loop, inlier count)."""
+    lm_mask = landmarks_seen_by(m, cand_kf)
+    dist = matching.hamming_matrix(frame.feats.desc, m.lm_desc, frame.feats.valid, lm_mask)
+    mt = matching.match_ratio(dist, max_distance=max_hamming, ratio=0.85, mutual=True)
+
+    u_r = jnp.where(
+        frame.depth > 1e-3,
+        frame.feats.xy[:, 0] - K.bf / jnp.maximum(frame.depth, 1e-3),
+        -1.0,
+    )
+    uvr = jnp.concatenate([frame.feats.xy, u_r[:, None]], axis=-1)
+    T0 = lie.SE3(m.kf_T_cw.R[cand_kf], m.kf_T_cw.t[cand_kf])
+    T_loop, inl, _ = ba.solve_pose(
+        K, T0, m.lm_pos[mt.idx_b], uvr,
+        jnp.ones((frame.feats.capacity,)), mt.valid, iters=10,
+    )
+    return T_loop, jnp.sum(inl).astype(jnp.int32)
+
+
+class LoopCloser:
+    """Host-side accumulator of loop edges + correction trigger."""
+
+    def __init__(self, cfg, K: Intrinsics):
+        self.cfg = cfg
+        self.K = K
+        self.loop_edges: List[Tuple[int, int, np.ndarray]] = []  # (i, j, T_ij 4x4)
+        self.last_loop_kf = -(10**9)
+
+    def on_keyframe(self, slam, kf_idx: int) -> Optional[dict]:
+        """Called after each keyframe insertion. Returns correction info when
+        a loop was closed, else None."""
+        cfg = self.cfg.loop
+        if not cfg.enabled or kf_idx < cfg.min_gap_keyframes:
+            return None
+        m = slam.map
+        sig = m.kf_signature[kf_idx]
+        cand = detect_loop(m, sig, jnp.int32(kf_idx), cfg.min_gap_keyframes)
+        score = float(cand.score)
+        if score < cfg.min_score:
+            return None
+        # geometric verification against the candidate's landmarks
+        frame = slam.last_frame
+        if frame is None:
+            return None
+        T_loop, n_inl = verify_loop(self.K, m, frame, cand.kf_idx)
+        if int(n_inl) < cfg.min_matches:
+            return None
+
+        i = int(cand.kf_idx)
+        j = kf_idx
+        T_i = lie.SE3(m.kf_T_cw.R[i], m.kf_T_cw.t[i])
+        T_ij = lie.compose(T_i, lie.inverse(T_loop))
+        self.loop_edges.append((i, j, np.asarray(T_ij.matrix())))
+        self.last_loop_kf = kf_idx
+
+        # --- pose-graph correction ---
+        K_cap = m.kf_valid.shape[0]
+        max_odo = K_cap - 1
+        odo = pgo.odometry_edges(m.kf_T_cw, m.n_kf, max_odo)
+        E_loop = len(self.loop_edges)
+        li = jnp.asarray([e[0] for e in self.loop_edges], jnp.int32)
+        lj = jnp.asarray([e[1] for e in self.loop_edges], jnp.int32)
+        lT = jnp.asarray(np.stack([e[2] for e in self.loop_edges]), jnp.float32)
+        loop_edges = pgo.PoseGraphEdges(
+            i=li, j=lj, T_ij=lie.SE3.from_matrix(lT),
+            weight=jnp.full((E_loop,), 5.0), valid=jnp.ones((E_loop,), bool),
+        )
+        edges = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), odo, loop_edges
+        )
+        fixed = jnp.zeros((K_cap,), bool).at[0].set(True)
+        T_new, chis = pgo.optimize_pose_graph(
+            m.kf_T_cw, m.kf_valid, edges, fixed, iters=cfg.pgo_iters
+        )
+        # keep only valid slots
+        keep = m.kf_valid[:, None]
+        m = m._replace(
+            kf_T_cw=lie.SE3(
+                jnp.where(keep[..., None], T_new.R, m.kf_T_cw.R),
+                jnp.where(keep, T_new.t, m.kf_T_cw.t),
+            )
+        )
+        m = sm.reanchor_landmarks(m)
+        slam.map = m
+        # rebase the tracker on the corrected keyframe pose
+        T_cur = lie.SE3(m.kf_T_cw.R[j], m.kf_T_cw.t[j])
+        slam.state = slam.state._replace(T_cw=T_cur, T_cw_last_kf=T_cur)
+        return {
+            "loop_from": j,
+            "loop_to": i,
+            "score": score,
+            "inliers": int(n_inl),
+            "pgo_chi2": float(np.asarray(chis)[-1]),
+        }

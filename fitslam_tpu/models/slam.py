@@ -43,6 +43,13 @@ class StereoSlam:
         self.keyframe_events: List[Callable] = []
         self.log = event_logger or EventLogger(time_tier=MODULE)
         self._initialized = False
+        self.last_frame: Optional[tr.StereoFrame] = None
+        self.loop_closer = None
+        self.loop_events: List[Dict] = []
+        if cfg.loop.enabled:
+            from fitslam_tpu.models.loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(cfg, self.K)
 
     # ------------------------------------------------------------------
     # Frame pipeline
@@ -66,6 +73,7 @@ class StereoSlam:
         """Track an already-extracted frame (used by tests and replays)."""
         cfg = self.cfg
         info: Dict = {"frame_id": self.frame_id, "keyframe": False, "lost": False}
+        self.last_frame = frame
 
         if not self._initialized:
             self._insert_kf(frame, lm_match=-jnp.ones(frame.feats.capacity, jnp.int32))
@@ -111,6 +119,12 @@ class StereoSlam:
                 kf_idx = int(self.map.n_kf) - 1
                 T = lie.SE3(self.map.kf_T_cw.R[kf_idx], self.map.kf_T_cw.t[kf_idx])
                 self.state = self.state._replace(T_cw=T, T_cw_last_kf=T)
+                if self.loop_closer is not None:
+                    with self.log.scope("loop_closing", MODULE):
+                        loop_info = self.loop_closer.on_keyframe(self, kf_idx)
+                    if loop_info:
+                        info["loop"] = loop_info
+                        self.loop_events.append(loop_info)
 
         T_wc = lie.inverse(self.state.T_cw)
         self.trajectory.append(np.asarray(T_wc.matrix()))

@@ -122,8 +122,10 @@ def so3_log(R: jax.Array) -> jax.Array:
         axis=-1,
     )
     # atan2(|sin|, cos) is well-conditioned at theta -> pi where
-    # arccos((trace-1)/2) loses ~sqrt(eps) digits in float32.
-    sin_theta = jnp.linalg.norm(vee, axis=-1)
+    # arccos((trace-1)/2) loses ~sqrt(eps) digits in float32. The norm is
+    # eps-padded so its gradient stays finite at theta -> 0 (autodiff flows
+    # through here from pose-graph edge Jacobians at near-zero residuals).
+    sin_theta = jnp.sqrt(jnp.sum(vee * vee, axis=-1) + 1e-24)
     theta = jnp.arctan2(sin_theta, cos_theta)
     scale = _safe_div(theta, sin_theta, 1.0 + theta * theta / 6.0)[..., None]
     generic = scale * vee

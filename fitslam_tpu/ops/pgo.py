@@ -1,0 +1,130 @@
+"""Pose-graph optimization as dense batched Gauss-Newton.
+
+Replaces the reference's g2o pose-graph (ORB-SLAM3 loop closing: essential
+graph optimization + global BA trigger, submodule; SURVEY.md §2.1 S1,
+§3.4). Edges are a fixed-capacity masked table; per-edge 6x6 Jacobians come
+from forward-mode autodiff of the boxplus-perturbed residual (vmapped — edges
+are independent), and the (6K, 6K) Hessian is assembled by scatter-add and
+solved densely. For the K <= a-few-hundred keyframes of this system the dense
+solve is both simpler and faster on the MXU than any sparse structure.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fitslam_tpu.ops import lie
+
+
+class PoseGraphEdges(NamedTuple):
+    i: jax.Array        # (E,) int32
+    j: jax.Array        # (E,) int32
+    T_ij: lie.SE3       # (E,) measured relative pose: maps frame j -> frame i
+    weight: jax.Array   # (E,) float32 information scale
+    valid: jax.Array    # (E,) bool
+
+
+def edge_residual(T_cw_i: lie.SE3, T_cw_j: lie.SE3, T_ij: lie.SE3) -> jax.Array:
+    """e = log(T_ij^-1 * T_cw_i * T_cw_j^-1)  (6,)."""
+    rel = lie.compose(T_cw_i, lie.inverse(T_cw_j))
+    return lie.se3_log(lie.compose(lie.inverse(T_ij), rel))
+
+
+def _edge_res_jac(T_i: lie.SE3, T_j: lie.SE3, T_ij: lie.SE3):
+    def f(xi, xj):
+        Ti = lie.compose(lie.se3_exp(xi), T_i)
+        Tj = lie.compose(lie.se3_exp(xj), T_j)
+        return edge_residual(Ti, Tj, T_ij)
+
+    z = jnp.zeros((6,))
+    r = f(z, z)
+    Ji, Jj = jax.jacfwd(f, argnums=(0, 1))(z, z)
+    return r, Ji, Jj
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def optimize_pose_graph(
+    T_cw: lie.SE3,            # (K,) poses
+    kf_valid: jax.Array,      # (K,) bool
+    edges: PoseGraphEdges,
+    fixed: jax.Array,         # (K,) bool — gauge
+    iters: int = 12,
+    damping: float = 1e-4,
+    huber_delta: float = 0.5,
+) -> Tuple[lie.SE3, jax.Array]:
+    """Gauss-Newton over the pose graph. Returns (poses, chi2 history)."""
+    K_n = T_cw.t.shape[0]
+
+    def linearize(T):
+        Ti = lie.SE3(T.R[edges.i], T.t[edges.i])
+        Tj = lie.SE3(T.R[edges.j], T.t[edges.j])
+        r, Ji, Jj = jax.vmap(_edge_res_jac)(Ti, Tj, edges.T_ij)
+        r2 = jnp.sum(r * r, axis=-1)
+        w_rob = jnp.where(r2 > huber_delta**2, huber_delta / jnp.sqrt(jnp.maximum(r2, 1e-12)), 1.0)
+        w = edges.weight * w_rob * edges.valid.astype(jnp.float32)
+        return r, Ji, Jj, w, r2
+
+    def chi2_of(T):
+        r, _, _, w, r2 = linearize(T)
+        return jnp.sum(w * r2)
+
+    def body(T, _):
+        r, Ji, Jj, w, _ = linearize(T)
+        # assemble dense H, b via scatter into (K, K, 6, 6)
+        Hii = jnp.einsum("e,eri,erj->eij", w, Ji, Ji)
+        Hjj = jnp.einsum("e,eri,erj->eij", w, Jj, Jj)
+        Hij = jnp.einsum("e,eri,erj->eij", w, Ji, Jj)
+        bi = -jnp.einsum("e,eri,er->ei", w, Ji, r)
+        bj = -jnp.einsum("e,eri,er->ei", w, Jj, r)
+
+        flat = lambda a, b_: a * K_n + b_
+        H = jnp.zeros((K_n * K_n, 6, 6))
+        H = H.at[flat(edges.i, edges.i)].add(Hii)
+        H = H.at[flat(edges.j, edges.j)].add(Hjj)
+        H = H.at[flat(edges.i, edges.j)].add(Hij)
+        H = H.at[flat(edges.j, edges.i)].add(jnp.swapaxes(Hij, -1, -2))
+        H = H.reshape(K_n, K_n, 6, 6)
+        b = jnp.zeros((K_n, 6)).at[edges.i].add(bi).at[edges.j].add(bj)
+
+        free = (jnp.logical_not(fixed) & kf_valid).astype(H.dtype)
+        H = H * free[:, None, None, None] * free[None, :, None, None]
+        H = H.at[jnp.arange(K_n), jnp.arange(K_n)].add(
+            jnp.eye(6) * jnp.where(free > 0, damping, 1.0)[:, None, None]
+        )
+        b = b * free[:, None]
+
+        H_mat = H.transpose(0, 2, 1, 3).reshape(K_n * 6, K_n * 6)
+        dx = jnp.linalg.solve(H_mat, b.reshape(-1)).reshape(K_n, 6)
+        dx = dx * free[:, None]
+        # step clip for robustness
+        n = jnp.linalg.norm(dx, axis=-1, keepdims=True)
+        dx = dx * jnp.minimum(1.0, 1.0 / jnp.maximum(n, 1e-12))
+
+        T_new = lie.compose(lie.se3_exp(dx), T)
+        c_old = chi2_of(T)
+        c_new = chi2_of(T_new)
+        accept = jnp.isfinite(c_new) & (c_new < c_old)
+        T_out = jax.tree.map(lambda a, b_: jnp.where(accept, a, b_), T_new, T)
+        return T_out, jnp.where(accept, c_new, c_old)
+
+    T_fin, chis = jax.lax.scan(body, T_cw, None, length=iters)
+    return T_fin, chis
+
+
+def odometry_edges(T_cw: lie.SE3, n_kf: jax.Array, max_edges: int,
+                   weight: float = 1.0) -> PoseGraphEdges:
+    """Consecutive-keyframe edges from the current pose estimates."""
+    K_n = T_cw.t.shape[0]
+    i = jnp.arange(max_edges, dtype=jnp.int32)
+    j = i + 1
+    ok = (j < n_kf)
+    i_c = jnp.minimum(i, K_n - 1)
+    j_c = jnp.minimum(j, K_n - 1)
+    Ti = lie.SE3(T_cw.R[i_c], T_cw.t[i_c])
+    Tj = lie.SE3(T_cw.R[j_c], T_cw.t[j_c])
+    T_ij = lie.compose(Ti, lie.inverse(Tj))
+    return PoseGraphEdges(i_c, j_c, T_ij, jnp.full((max_edges,), weight), ok)

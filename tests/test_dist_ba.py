@@ -1,0 +1,46 @@
+"""Distributed BA on the virtual 8-device CPU mesh: must agree with the
+single-device solver and actually shard (SURVEY.md §2.5 TPU mapping)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fitslam_tpu.ops import ba, lie
+from fitslam_tpu.parallel import dist_ba, mesh as mesh_mod
+from tests.test_ba import K, _make_problem
+
+
+@pytest.fixture(scope="module")
+def problem():
+    # obs capacity 1024 divisible by 8
+    return _make_problem(jax.random.PRNGKey(7), n_kf=4, n_lm=128, n_obs=1024)
+
+
+def test_matches_single_device(problem):
+    prob, T_gt, pts_gt = problem
+    m = mesh_mod.make_mesh(8)
+    out_d, chis = dist_ba.distributed_bundle_adjust(m, K, prob, iters=6)
+    out_s, stats = ba.bundle_adjust(K, prob, iters=6, damping=1e-3)
+    # same final chi2 trajectory within float tolerance
+    np.testing.assert_allclose(
+        np.asarray(chis)[1:], np.asarray(stats.chi2)[:-1], rtol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_d.T_cw.t), np.asarray(out_s.T_cw.t), atol=5e-3
+    )
+    err = np.linalg.norm(
+        np.asarray(lie.se3_log(lie.compose(out_d.T_cw, lie.inverse(T_gt)))), axis=-1
+    )
+    assert err[1:].max() < 0.03
+
+
+def test_mesh_sizes(problem):
+    prob, T_gt, _ = problem
+    for nd in (1, 2, 4):
+        m = mesh_mod.make_mesh(nd)
+        out, chis = dist_ba.distributed_bundle_adjust(m, K, prob, iters=4)
+        err = np.linalg.norm(
+            np.asarray(lie.se3_log(lie.compose(out.T_cw, lie.inverse(T_gt)))), axis=-1
+        )
+        assert err[1:].max() < 0.05, (nd, err)
