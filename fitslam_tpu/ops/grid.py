@@ -1,0 +1,225 @@
+"""Traversability grid fusion as batched scatter/stencil kernels.
+
+Reference capability: the traversability_mapping submodule (SURVEY.md §2.1
+S5): per-keyframe point clouds fused into elevation/slope/roughness grids,
+thresholded into an occupancy-style costmap for Nav2 and frontier search,
+with per-KF cloud buffering so grids re-stitch after loop closure
+(`is_kf_optimization_enabled`, traversabilityParams.yaml:27-29).
+
+TPU design: clouds live in keyframe camera frames in a fixed ring buffer
+(C, P, 3); fusion transforms every cloud by its *current* keyframe pose and
+scatter-reduces all C*P points into per-cell statistics in one kernel — so a
+loop-closure "re-stitch" is just calling the same kernel with updated poses.
+Costs follow the reference's 0..255 convention (255 unknown, >= lethal
+threshold blocked).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fitslam_tpu.ops import lie
+
+UNKNOWN = 255
+LETHAL = 254
+FREE = 0
+
+
+class GridSpec2D(NamedTuple):
+    """Static grid geometry: world <-> cell mapping."""
+
+    size: int            # cells per side
+    resolution: float    # m per cell
+    origin_x: float      # world x of cell (0, 0) corner
+    origin_y: float
+
+    @property
+    def extent(self) -> float:
+        return self.size * self.resolution
+
+    def world_to_cell(self, xy: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """(..., 2) world -> ((..., 2) int cell, in-bounds mask)."""
+        c = jnp.floor(
+            (xy - jnp.array([self.origin_x, self.origin_y])) / self.resolution
+        ).astype(jnp.int32)
+        ok = (
+            (c[..., 0] >= 0) & (c[..., 0] < self.size)
+            & (c[..., 1] >= 0) & (c[..., 1] < self.size)
+        )
+        return c, ok
+
+    def cell_to_world(self, c: jax.Array) -> jax.Array:
+        return (c.astype(jnp.float32) + 0.5) * self.resolution + jnp.array(
+            [self.origin_x, self.origin_y]
+        )
+
+
+class CloudBuffer(NamedTuple):
+    """Per-keyframe point clouds in keyframe camera frame (ring buffer)."""
+
+    points: jax.Array    # (C, P, 3) float32, camera frame
+    kf_idx: jax.Array    # (C,) int32 owning keyframe
+    valid: jax.Array     # (C, P) bool
+    cloud_valid: jax.Array  # (C,) bool
+    n_clouds: jax.Array  # () int32
+
+
+def empty_cloud_buffer(max_clouds: int, max_points: int) -> CloudBuffer:
+    return CloudBuffer(
+        points=jnp.zeros((max_clouds, max_points, 3), jnp.float32),
+        kf_idx=jnp.zeros((max_clouds,), jnp.int32),
+        valid=jnp.zeros((max_clouds, max_points), bool),
+        cloud_valid=jnp.zeros((max_clouds,), bool),
+        n_clouds=jnp.int32(0),
+    )
+
+
+@jax.jit
+def add_cloud(buf: CloudBuffer, points_c: jax.Array, valid: jax.Array,
+              kf_idx: jax.Array) -> CloudBuffer:
+    """Append one keyframe cloud (camera frame); wraps when full."""
+    C = buf.points.shape[0]
+    slot = jnp.mod(buf.n_clouds, C)
+    return buf._replace(
+        points=buf.points.at[slot].set(points_c),
+        kf_idx=buf.kf_idx.at[slot].set(kf_idx.astype(jnp.int32)),
+        valid=buf.valid.at[slot].set(valid),
+        cloud_valid=buf.cloud_valid.at[slot].set(True),
+        n_clouds=buf.n_clouds + 1,
+    )
+
+
+class TraversabilityGrid(NamedTuple):
+    """Fused per-cell statistics + derived cost."""
+
+    elevation: jax.Array   # (G, G) mean z
+    z_min: jax.Array       # (G, G)
+    z_max: jax.Array       # (G, G)
+    roughness: jax.Array   # (G, G) z std dev
+    slope: jax.Array       # (G, G) |grad elevation| (rise/run)
+    count: jax.Array       # (G, G) int32 point count
+    cost: jax.Array        # (G, G) uint8 0..255 (255 = unknown)
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def fuse_clouds(
+    spec: GridSpec2D,
+    buf: CloudBuffer,
+    kf_T_cw: lie.SE3,             # (K,) all keyframe poses (current estimates)
+    max_slope: float = 0.7,
+    ground_clearance: float = 0.17,
+    robot_height: float = 1.5,
+    security_distance: float = 0.6,
+    lethal_threshold: int = 55,
+) -> TraversabilityGrid:
+    """Fuse every buffered cloud through its keyframe's *current* pose.
+
+    One batched scatter over all C*P points: per-cell count / mean z /
+    min-max z / variance, then slope stencils and the traversability cost.
+    Calling this after a pose-graph update re-stitches the whole map
+    (reference: is_kf_optimization_enabled re-stitch, SURVEY.md §3.4).
+    """
+    G = spec.size
+    C, P, _ = buf.points.shape
+
+    # world-frame points: T_wc[kf] applied per cloud
+    T_cw = lie.SE3(kf_T_cw.R[buf.kf_idx], kf_T_cw.t[buf.kf_idx])   # (C,)
+    T_wc = lie.inverse(T_cw)
+    pts_w = (
+        jnp.einsum("cij,cpj->cpi", T_wc.R, buf.points) + T_wc.t[:, None, :]
+    ).reshape(C * P, 3)
+    ok = (buf.valid & buf.cloud_valid[:, None]).reshape(C * P)
+
+    cell, inb = spec.world_to_cell(pts_w[:, :2])
+    ok = ok & inb
+    flat = jnp.where(ok, cell[:, 1] * G + cell[:, 0], G * G)  # row-major (y, x)
+    z = pts_w[:, 2]
+
+    n_cells = G * G + 1
+    cnt = jax.ops.segment_sum(ok.astype(jnp.float32), flat, num_segments=n_cells)
+    s_z = jax.ops.segment_sum(jnp.where(ok, z, 0.0), flat, num_segments=n_cells)
+    s_z2 = jax.ops.segment_sum(jnp.where(ok, z * z, 0.0), flat, num_segments=n_cells)
+    z_mx = jax.ops.segment_max(jnp.where(ok, z, -jnp.inf), flat, num_segments=n_cells)
+    z_mn = jax.ops.segment_min(jnp.where(ok, z, jnp.inf), flat, num_segments=n_cells)
+
+    cnt = cnt[: G * G].reshape(G, G)
+    known = cnt > 0
+    mean_z = jnp.where(known, s_z[: G * G].reshape(G, G) / jnp.maximum(cnt, 1.0), 0.0)
+    var_z = jnp.where(
+        known,
+        s_z2[: G * G].reshape(G, G) / jnp.maximum(cnt, 1.0) - mean_z**2,
+        0.0,
+    )
+    rough = jnp.sqrt(jnp.maximum(var_z, 0.0))
+    z_max = jnp.where(known, z_mx[: G * G].reshape(G, G), 0.0)
+    z_min = jnp.where(known, z_mn[: G * G].reshape(G, G), 0.0)
+
+    # slope: central differences on elevation, only across known neighbors
+    def shift(a, dy, dx):
+        return jnp.roll(a, (dy, dx), axis=(0, 1))
+
+    inv_2res = 1.0 / (2.0 * spec.resolution)
+    gx_ok = shift(known, 0, 1) & shift(known, 0, -1)
+    gy_ok = shift(known, 1, 0) & shift(known, -1, 0)
+    gx = jnp.where(gx_ok, (shift(mean_z, 0, -1) - shift(mean_z, 0, 1)) * inv_2res, 0.0)
+    gy = jnp.where(gy_ok, (shift(mean_z, -1, 0) - shift(mean_z, 1, 0)) * inv_2res, 0.0)
+    slope = jnp.sqrt(gx * gx + gy * gy)
+
+    # cost: reference-style traversability classification
+    step = z_max - z_min
+    slope_cost = jnp.clip(slope / max_slope, 0.0, 1.0)
+    rough_cost = jnp.clip(rough / ground_clearance, 0.0, 1.0)
+    step_cost = jnp.clip(step / robot_height, 0.0, 1.0)
+    cost01 = jnp.maximum(jnp.maximum(slope_cost, rough_cost), step_cost)
+    cost = jnp.round(cost01 * 200.0)
+    lethal = (slope > max_slope) | (step > robot_height * 0.5) | (rough > 2 * ground_clearance)
+    cost = jnp.where(lethal, LETHAL, cost)
+
+    # inflate lethal by security distance (max-pool with square window)
+    r_cells = max(1, int(round(security_distance / spec.resolution)))
+    lethal_f = (cost >= LETHAL).astype(jnp.float32)
+    inflated = jax.lax.reduce_window(
+        lethal_f, 0.0, jax.lax.max,
+        (2 * r_cells + 1, 2 * r_cells + 1), (1, 1), "SAME",
+    )
+    cost = jnp.where((inflated > 0) & known, jnp.maximum(cost, float(LETHAL)), cost)
+    cost = jnp.where(known, cost, UNKNOWN).astype(jnp.uint8)
+
+    return TraversabilityGrid(
+        elevation=mean_z, z_min=z_min, z_max=z_max,
+        roughness=rough, slope=slope,
+        count=cnt.astype(jnp.int32), cost=cost,
+    )
+
+
+@partial(jax.jit, static_argnames=("lethal_threshold",))
+def threshold_grid(grid: TraversabilityGrid, lethal_threshold: int = 55) -> jax.Array:
+    """`traversability_threshold_node` equivalent
+    (traversability_ros_params.yaml:18-24): tri-state occupancy
+    {FREE=0, LETHAL=254, UNKNOWN=255} consumed by Nav2 + frontier search."""
+    known = grid.cost != UNKNOWN
+    occ = jnp.where(grid.cost >= lethal_threshold, LETHAL, FREE)
+    return jnp.where(known, occ, UNKNOWN).astype(jnp.uint8)
+
+
+def depth_image_to_cloud(K, depth_img: jax.Array, stride: int = 4,
+                         max_depth: float = 14.0) -> Tuple[jax.Array, jax.Array]:
+    """RGB-D backprojection: depth image -> camera-frame cloud (fixed size).
+
+    Reference capability: per-keyframe pointcloud source for traversability
+    (SURVEY.md §2.1 S5). Subsamples by `stride` to bound the point count.
+    """
+    H, W = depth_img.shape
+    v = jnp.arange(0, H, stride)
+    u = jnp.arange(0, W, stride)
+    uu, vv = jnp.meshgrid(u, v, indexing="xy")
+    d = depth_img[vv, uu]
+    ok = (d > 0.1) & (d < max_depth)
+    x = (uu.astype(jnp.float32) - K.cx) / K.fx * d
+    y = (vv.astype(jnp.float32) - K.cy) / K.fy * d
+    pts = jnp.stack([x, y, d], axis=-1).reshape(-1, 3)
+    return pts, ok.reshape(-1)

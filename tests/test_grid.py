@@ -1,0 +1,125 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fitslam_tpu.ops import grid as gr
+from fitslam_tpu.ops import frontier as fr
+from fitslam_tpu.ops import lie
+
+SPEC = gr.GridSpec2D(size=80, resolution=0.25, origin_x=-10.0, origin_y=-10.0)
+
+
+def _flat_ground_cloud(key, n=2048, extent=8.0, z=0.0, noise=0.01):
+    xy = jax.random.uniform(key, (n, 2), minval=-extent, maxval=extent)
+    zz = z + noise * jax.random.normal(jax.random.fold_in(key, 1), (n,))
+    return jnp.concatenate([xy, zz[:, None]], axis=-1)
+
+
+def _identity_pose_cam_down():
+    """Camera frame == world frame for simplicity: store clouds in world."""
+    return lie.SE3.identity((4,))
+
+
+def test_flat_ground_is_free():
+    buf = gr.empty_cloud_buffer(4, 2048)
+    cloud = _flat_ground_cloud(jax.random.PRNGKey(0))
+    buf = gr.add_cloud(buf, cloud, jnp.ones((2048,), bool), jnp.int32(0))
+    g = gr.fuse_clouds(SPEC, buf, _identity_pose_cam_down())
+    known = np.asarray(g.cost) != gr.UNKNOWN
+    assert known.sum() > 400
+    cost_known = np.asarray(g.cost)[known]
+    assert (cost_known < 55).mean() > 0.95  # flat ground almost all traversable
+
+
+def test_wall_is_lethal_and_inflated():
+    buf = gr.empty_cloud_buffer(4, 4096)
+    ground = _flat_ground_cloud(jax.random.PRNGKey(1), n=2048)
+    # wall at x = 2: points from z=0..2
+    key = jax.random.PRNGKey(2)
+    wy = jax.random.uniform(key, (2048,), minval=-4.0, maxval=4.0)
+    wz = jax.random.uniform(jax.random.fold_in(key, 1), (2048,), minval=0.0, maxval=2.0)
+    wall = jnp.stack([jnp.full((2048,), 2.0), wy, wz], axis=-1)
+    cloud = jnp.concatenate([ground, wall])
+    buf = gr.add_cloud(buf, cloud, jnp.ones((4096,), bool), jnp.int32(0))
+    g = gr.fuse_clouds(SPEC, buf, _identity_pose_cam_down())
+    occ = np.asarray(gr.threshold_grid(g, 55))
+    # wall cells lethal
+    wall_cells = occ[np.asarray((SPEC.world_to_cell(wall[:, :2])[0][:, 1])),
+                     np.asarray((SPEC.world_to_cell(wall[:, :2])[0][:, 0]))]
+    assert (wall_cells == gr.LETHAL).mean() > 0.9
+    # inflation: cells adjacent to the wall along x also lethal
+    near = jnp.stack([jnp.full((64,), 1.7), jnp.linspace(-3, 3, 64)], axis=-1)
+    nc, _ = SPEC.world_to_cell(near)
+    near_cells = occ[np.asarray(nc[:, 1]), np.asarray(nc[:, 0])]
+    known_near = near_cells != gr.UNKNOWN
+    assert known_near.sum() > 10
+    assert (near_cells[known_near] == gr.LETHAL).mean() > 0.8
+
+
+def test_restitch_follows_pose_update():
+    """Clouds stored in KF frame: moving the KF pose moves the fused map
+    (loop-closure re-stitch capability, SURVEY.md §3.4)."""
+    buf = gr.empty_cloud_buffer(2, 1024)
+    cloud = _flat_ground_cloud(jax.random.PRNGKey(3), n=1024, extent=2.0)
+    buf = gr.add_cloud(buf, cloud, jnp.ones((1024,), bool), jnp.int32(0))
+    poses_a = lie.SE3.identity((2,))
+    g_a = gr.fuse_clouds(SPEC, buf, poses_a)
+    # shift KF0 by 2 m in x: T_cw = exp(-2ex) => T_wc = +2 in x
+    T_shift = lie.se3_exp(jnp.tile(jnp.array([[-2.0, 0, 0, 0, 0, 0]]), (2, 1)))
+    poses_b = lie.compose(T_shift, poses_a)
+    g_b = gr.fuse_clouds(SPEC, buf, poses_b)
+    ka = np.asarray(g_a.count > 0)
+    kb = np.asarray(g_b.count > 0)
+    # shifted by 2 m = 8 cells in +x (axis 1)
+    np.testing.assert_array_equal(kb[:, 8:], ka[:, :-8])
+
+
+def test_frontier_detection_ring():
+    """Free disk inside unknown: frontier = ring at the disk boundary."""
+    G = SPEC.size
+    occ = np.full((G, G), gr.UNKNOWN, np.uint8)
+    yy, xx = np.mgrid[0:G, 0:G]
+    c = G // 2
+    disk = (xx - c) ** 2 + (yy - c) ** 2 <= 12**2
+    occ[disk] = gr.FREE
+    f = fr.extract_frontiers(
+        SPEC, jnp.asarray(occ), jnp.zeros((2,)), jnp.float32(20.0),
+        max_cells=2048, max_frontiers=64, max_cluster_size=20,
+    )
+    assert int(f.valid.sum()) >= 4  # ring split into <=20-cell clusters
+    # all goals lie near the disk boundary radius (12 cells = 3 m)
+    goals = np.asarray(f.goal_xy[np.asarray(f.valid)])
+    center_w = np.asarray(SPEC.cell_to_world(jnp.array([c, c])))
+    r = np.linalg.norm(goals - center_w, axis=1)
+    assert np.all(np.abs(r - 3.0) < 0.8), r
+    # cluster size cap respected
+    assert int(f.size.max()) <= 20
+
+
+def test_frontier_blocked_by_lethal():
+    G = SPEC.size
+    occ = np.full((G, G), gr.UNKNOWN, np.uint8)
+    c = G // 2
+    occ[c - 10 : c + 10, c - 10 : c + 10] = gr.FREE
+    # lethal wall fully wrapping the free square boundary
+    occ[c - 11, c - 11 : c + 11] = gr.LETHAL
+    occ[c + 10, c - 11 : c + 11] = gr.LETHAL
+    occ[c - 11 : c + 11, c - 11] = gr.LETHAL
+    occ[c - 11 : c + 11, c + 10] = gr.LETHAL
+    f = fr.extract_frontiers(
+        SPEC, jnp.asarray(occ), jnp.zeros((2,)), jnp.float32(20.0),
+        max_cells=2048, max_frontiers=64,
+    )
+    assert int(f.valid.sum()) == 0  # no frontier across a lethal boundary
+
+
+def test_frontier_radius_limit():
+    G = SPEC.size
+    occ = np.full((G, G), gr.UNKNOWN, np.uint8)
+    occ[: G // 2, :] = gr.FREE  # frontier row at y = G//2 boundary
+    robot = jnp.asarray(SPEC.cell_to_world(jnp.array([G // 2, G // 2])))
+    f_small = fr.extract_frontiers(SPEC, jnp.asarray(occ), robot, jnp.float32(1.0),
+                                   max_cells=2048, max_frontiers=64)
+    f_large = fr.extract_frontiers(SPEC, jnp.asarray(occ), robot, jnp.float32(8.0),
+                                   max_cells=2048, max_frontiers=64)
+    assert int(f_small.size.sum()) < int(f_large.size.sum())
