@@ -20,6 +20,8 @@ from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from fitslam_tpu.utils.jit import vjit
 import numpy as np
 
 from fitslam_tpu.ops import ba, lie, matching, pgo
@@ -33,7 +35,7 @@ class LoopCandidate(NamedTuple):
     score: jax.Array     # () float32
 
 
-@jax.jit
+@vjit
 def detect_loop(m: sm.SlamMap, signature: jax.Array, current_kf: jax.Array,
                 min_gap: int = 20) -> LoopCandidate:
     """Best loop candidate by signature similarity with temporal gap."""
@@ -44,7 +46,7 @@ def detect_loop(m: sm.SlamMap, signature: jax.Array, current_kf: jax.Array,
     return LoopCandidate(best.astype(jnp.int32), scores[best])
 
 
-@jax.jit
+@vjit
 def landmarks_seen_by(m: sm.SlamMap, kf_idx: jax.Array) -> jax.Array:
     """(L,) bool — landmarks with a valid observation from keyframe kf_idx."""
     L = m.lm_valid.shape[0]
@@ -53,7 +55,7 @@ def landmarks_seen_by(m: sm.SlamMap, kf_idx: jax.Array) -> jax.Array:
     return mask & m.lm_valid
 
 
-@jax.jit
+@vjit
 def verify_loop(
     K: Intrinsics,
     m: sm.SlamMap,

@@ -23,6 +23,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from fitslam_tpu.utils.jit import vjit
+
 from fitslam_tpu.ops import lie
 from fitslam_tpu.ops.ba import Observations
 from fitslam_tpu.ops.geometry import Intrinsics, backproject
@@ -37,7 +39,7 @@ class SlamMap(NamedTuple):
     kf_signature: jax.Array   # (K, D) float32 place-recognition signature
     # --- landmarks (capacity L) ---
     lm_pos: jax.Array         # (L, 3) world
-    lm_desc: jax.Array        # (L, 8) uint32 representative descriptor
+    lm_desc: jax.Array        # (L, 256) ±1 bfloat16 representative descriptor
     lm_valid: jax.Array       # (L,) bool
     lm_nobs: jax.Array        # (L,) int32
     lm_anchor_kf: jax.Array   # (L,) int32
@@ -71,7 +73,7 @@ def empty_map(max_keyframes: int, max_landmarks: int, max_observations: int,
         kf_frame_id=jnp.zeros((K,), jnp.int32),
         kf_signature=jnp.zeros((K, signature_dim), jnp.float32),
         lm_pos=jnp.zeros((L, 3), jnp.float32),
-        lm_desc=jnp.zeros((L, 8), jnp.uint32),
+        lm_desc=jnp.zeros((L, 256), jnp.bfloat16),
         lm_valid=jnp.zeros((L,), bool),
         lm_nobs=jnp.zeros((L,), jnp.int32),
         lm_anchor_kf=jnp.zeros((L,), jnp.int32),
@@ -92,7 +94,7 @@ def empty_map(max_keyframes: int, max_landmarks: int, max_observations: int,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("scale_factor",))
+@vjit(static_argnames=("scale_factor",))
 def insert_keyframe(
     m: SlamMap,
     K: Intrinsics,
@@ -190,7 +192,7 @@ def insert_keyframe(
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
+@vjit
 def landmarks_in_view(
     m: SlamMap,
     K: Intrinsics,
@@ -219,7 +221,7 @@ def landmarks_in_view(
     return p_c, ok
 
 
-@jax.jit
+@vjit
 def reanchor_landmarks(m: SlamMap) -> SlamMap:
     """Recompute world landmark positions from anchor keyframes' (possibly
     loop-corrected) poses — the map-consistency propagation of SURVEY.md §3.4
@@ -231,7 +233,7 @@ def reanchor_landmarks(m: SlamMap) -> SlamMap:
     return m._replace(lm_pos=jnp.where(m.lm_valid[:, None], p_w, m.lm_pos))
 
 
-@jax.jit
+@vjit
 def cull_landmarks(m: SlamMap, min_obs: int = 2, grace_kf: int = 2) -> SlamMap:
     """Invalidate under-observed landmarks once their anchor KF is old enough
     (reference capability: ORB-SLAM3 MapPoint culling in local mapping)."""
@@ -284,7 +286,7 @@ def gather_window_problem(
     return prob, start, w_idx
 
 
-@partial(jax.jit, static_argnames=("window", "max_obs_local", "iters"))
+@vjit(static_argnames=("window", "max_obs_local", "iters"))
 def local_ba(
     m: SlamMap,
     K: Intrinsics,

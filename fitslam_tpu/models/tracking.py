@@ -15,6 +15,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from fitslam_tpu.utils.jit import vjit
+
 from fitslam_tpu.ops import ba, lie, matching, orb
 from fitslam_tpu.ops.geometry import Intrinsics, backproject, depth_from_disparity
 from fitslam_tpu.models.slam_map import SlamMap, landmarks_in_view
@@ -47,10 +49,7 @@ def init_track_state() -> TrackState:
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("num_features", "num_levels", "scale_factor", "fast_threshold"),
-)
+@vjit(static_argnames=("num_features", "num_levels", "scale_factor", "fast_threshold"))
 def process_stereo(
     K: Intrinsics,
     img_left: jax.Array,
@@ -71,7 +70,7 @@ def process_stereo(
     return StereoFrame(fl, depth_from_disparity(K, disparity))
 
 
-@partial(jax.jit, static_argnames=("width", "height", "pose_iters"))
+@vjit(static_argnames=("width", "height", "pose_iters"))
 def track_frame(
     K: Intrinsics,
     m: SlamMap,

@@ -28,6 +28,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from fitslam_tpu.utils.jit import vjit
+
 from fitslam_tpu.ops import lie
 from fitslam_tpu.ops.geometry import Intrinsics, huber_weight
 
@@ -200,7 +202,7 @@ def _schur_solve(
     return dp, dl
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@vjit(static_argnames=("iters",))
 def bundle_adjust(
     K: Intrinsics,
     prob: BAProblem,
@@ -241,7 +243,7 @@ def bundle_adjust(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@vjit(static_argnames=("iters",))
 def solve_pose(
     K: Intrinsics,
     T_cw0: lie.SE3,

@@ -22,6 +22,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from fitslam_tpu.utils.jit import vjit
+
 from fitslam_tpu.ops.grid import FREE, LETHAL, UNKNOWN, GridSpec2D
 
 _INF = jnp.int32(2**30)
@@ -54,7 +56,7 @@ N4 = ((1, 0), (-1, 0), (0, 1), (0, -1))
 N8 = N4 + ((1, 1), (1, -1), (-1, 1), (-1, -1))
 
 
-@partial(jax.jit, static_argnames=("lethal_threshold",))
+@vjit(static_argnames=("lethal_threshold",))
 def frontier_mask(
     occ: jax.Array,            # (G, G) uint8 occupancy {0 free, 254 lethal, 255 unknown}
     robot_cell: jax.Array,     # (2,) int32 (x, y)
@@ -84,7 +86,7 @@ def frontier_mask(
     return unknown & free4 & jnp.logical_not(lethal8) & within
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@vjit(static_argnames=("iters",))
 def propagate_labels(mask: jax.Array, iters: int = 64) -> jax.Array:
     """8-connected min-label propagation; labels are flat indices (INF off-mask).
 
@@ -105,7 +107,7 @@ def propagate_labels(mask: jax.Array, iters: int = 64) -> jax.Array:
     return jax.lax.fori_loop(0, iters, body, lbl0)
 
 
-@partial(jax.jit, static_argnames=("spec", "max_cells", "max_frontiers", "max_cluster_size", "min_cluster_size", "cc_iters"))
+@vjit(static_argnames=("spec", "max_cells", "max_frontiers", "max_cluster_size", "min_cluster_size", "cc_iters"))
 def extract_frontiers(
     spec: GridSpec2D,
     occ: jax.Array,

@@ -22,6 +22,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from fitslam_tpu.utils.jit import vjit
+
 from fitslam_tpu.ops import lie
 
 UNKNOWN = 255
@@ -78,7 +80,7 @@ def empty_cloud_buffer(max_clouds: int, max_points: int) -> CloudBuffer:
     )
 
 
-@jax.jit
+@vjit
 def add_cloud(buf: CloudBuffer, points_c: jax.Array, valid: jax.Array,
               kf_idx: jax.Array) -> CloudBuffer:
     """Append one keyframe cloud (camera frame); wraps when full."""
@@ -105,7 +107,7 @@ class TraversabilityGrid(NamedTuple):
     cost: jax.Array        # (G, G) uint8 0..255 (255 = unknown)
 
 
-@partial(jax.jit, static_argnames=("spec",))
+@vjit(static_argnames=("spec",))
 def fuse_clouds(
     spec: GridSpec2D,
     buf: CloudBuffer,
@@ -196,7 +198,7 @@ def fuse_clouds(
     )
 
 
-@partial(jax.jit, static_argnames=("lethal_threshold",))
+@vjit(static_argnames=("lethal_threshold",))
 def threshold_grid(grid: TraversabilityGrid, lethal_threshold: int = 55) -> jax.Array:
     """`traversability_threshold_node` equivalent
     (traversability_ros_params.yaml:18-24): tri-state occupancy

@@ -28,14 +28,24 @@ class Matches(NamedTuple):
 
 def hamming_matrix(desc_a: jax.Array, desc_b: jax.Array,
                    valid_a: jax.Array, valid_b: jax.Array) -> jax.Array:
-    """(Na, 8) x (Nb, 8) uint32 -> (Na, Nb) int32 Hamming distances.
+    """(Na, 256) x (Nb, 256) ±1 bfloat16 -> (Na, Nb) int32 Hamming distances.
 
-    Masked rows/cols get the BIG sentinel.
+    For ±1 vectors, dot = 256 - 2 * hamming, so the full distance matrix is
+    one MXU matmul (f32 accumulate keeps it exact). Masked rows/cols get the
+    BIG sentinel.
     """
-    x = jax.lax.population_count(desc_a[:, None, :] ^ desc_b[None, :, :])
-    d = jnp.sum(x.astype(jnp.int32), axis=-1)
+    dot = jax.lax.dot_general(
+        desc_a, desc_b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    bits = desc_a.shape[-1]
+    d = (bits - dot) * 0.5
     mask = valid_a[:, None] & valid_b[None, :]
-    return jnp.where(mask, d, BIG)
+    # Select in f32 and cast afterwards: fusing an int32 select into the
+    # matmul consumer hits a ~300x slow path in the TPU backend (measured
+    # 29 ms vs 0.1 ms for 1024x1024).
+    return jnp.where(mask, d, float(BIG)).astype(jnp.int32)
 
 
 def match_ratio(

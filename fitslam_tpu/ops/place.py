@@ -17,12 +17,9 @@ import numpy as np
 
 
 def signature_from_descriptors(desc: jax.Array, valid: jax.Array) -> jax.Array:
-    """(N, 8) uint32 + (N,) mask -> (256,) L2-normalized float signature."""
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    bits = ((desc[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)).astype(jnp.float32)
-    bits = bits.reshape(desc.shape[0], 256) * 2.0 - 1.0  # ±1
+    """(N, 256) ±1 + (N,) mask -> (256,) L2-normalized float signature."""
     w = valid.astype(jnp.float32)[:, None]
-    sig = jnp.sum(bits * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    sig = jnp.sum(desc.astype(jnp.float32) * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
     n = jnp.linalg.norm(sig)
     return sig / jnp.maximum(n, 1e-6)
 

@@ -30,7 +30,7 @@ def _frame_from_landmarks(key, pts_w, T_cw):
     with per-landmark deterministic descriptors."""
     p_c = (T_cw.R @ pts_w[..., None])[..., 0] + T_cw.t
     uvr, ok = project_stereo(K, p_c)
-    desc = jax.random.randint(key, (N, 8), 0, 2**31 - 1, dtype=jnp.int32).astype(jnp.uint32)
+    desc = jnp.where(jax.random.bernoulli(key, 0.5, (N, 256)), 1.0, -1.0).astype(jnp.bfloat16)
     feats = FrameFeatures(
         xy=uvr[:, :2],
         response=jnp.ones((N,)),

@@ -63,7 +63,7 @@ def test_descriptor_rotation_tolerance():
 
 def test_match_masks_invalid():
     key = jax.random.PRNGKey(0)
-    desc = jax.random.randint(key, (32, 8), 0, 2**31 - 1, dtype=jnp.int32).astype(jnp.uint32)
+    desc = jnp.where(jax.random.bernoulli(key, 0.5, (32, 256)), 1.0, -1.0).astype(jnp.bfloat16)
     valid = jnp.ones((32,), bool).at[5].set(False)
     dist = matching.hamming_matrix(desc, desc, valid, valid)
     m = matching.match_ratio(dist, max_distance=64, ratio=0.99)
@@ -76,7 +76,7 @@ def test_match_masks_invalid():
 
 def test_match_windowed_restricts_radius():
     key = jax.random.PRNGKey(1)
-    desc = jax.random.randint(key, (16, 8), 0, 2**31 - 1, dtype=jnp.int32).astype(jnp.uint32)
+    desc = jnp.where(jax.random.bernoulli(key, 0.5, (16, 256)), 1.0, -1.0).astype(jnp.bfloat16)
     valid = jnp.ones((16,), bool)
     xy_a = jnp.zeros((16, 2)) + jnp.arange(16)[:, None] * 100.0
     xy_b = xy_a + 5.0

@@ -17,7 +17,7 @@ K = Intrinsics(
 def _feats(key, n=64, w=320, h=240):
     kxy, kd = jax.random.split(key)
     xy = jax.random.uniform(kxy, (n, 2)) * jnp.array([w - 40, h - 40]) + 20.0
-    desc = jax.random.randint(kd, (n, 8), 0, 2**31 - 1, dtype=jnp.int32).astype(jnp.uint32)
+    desc = jnp.where(jax.random.bernoulli(kd, 0.5, (n, 256)), 1.0, -1.0).astype(jnp.bfloat16)
     return FrameFeatures(
         xy=xy,
         response=jnp.ones((n,)),
