@@ -10,11 +10,15 @@ so vs_baseline is measured against 60 fps.
 
 import dataclasses
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+# persistent compile cache: first-ever run pays remote compiles (~5 min),
+# later runs start hot
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 BASELINE_FPS = 60.0  # 2x nominal 30 fps CPU reference tracking rate
 W, H = 640, 480

@@ -1,0 +1,228 @@
+"""Frontier cost assignment and full-path (TSP) goal optimization.
+
+Reference capability:
+- FrontierCostCalculator / FrontierCostsManager / CostAssigner
+  (SURVEY.md §2.3 E5-E7): per-frontier arrival information (360° sweep),
+  path cost from the roadmap planner, utility
+  u = alpha * info_norm + (1 - alpha) * (1 - time_norm), weighted cost
+  1 / (beta * u), infinite for blacklisted/unachievable frontiers, with
+  min/max normalization and an achievability floor at 0.7x the max info.
+- FullPathOptimizer (E10, FullPathOptimizer.cpp): split achievable frontiers
+  into <= 5 locals (path <= 12 m) + globals with closest-global fallback;
+  exhaustive TSP over the local set via next_permutation, lengths from
+  cached roadmap A*; returns the ordered plan.
+
+TPU formulation: arrival info is one batched raycast kernel; path costs for
+every frontier fall out of ONE Bellman-Ford run from the robot node; the TSP
+enumerates all permutations as a static (P!, k) gather + sum — 120
+permutations of 5 locals evaluated simultaneously.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from itertools import permutations
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fitslam_tpu.utils.jit import vjit
+from fitslam_tpu.models.roadmap import INF
+from fitslam_tpu.ops import raycast
+from fitslam_tpu.ops.frontier import Frontiers
+from fitslam_tpu.ops.grid import LETHAL, UNKNOWN, GridSpec2D
+
+
+class FrontierCosts(NamedTuple):
+    """Per-frontier cost record (the Frontier data model fields of E4)."""
+
+    arrival_info: jax.Array     # (F,)
+    best_heading: jax.Array     # (F,)
+    path_length: jax.Array      # (F,) meters via roadmap (INF unreachable)
+    utility: jax.Array          # (F,)
+    weighted_cost: jax.Array    # (F,) 1/(beta*u); INF if excluded
+    achievable: jax.Array       # (F,) bool
+    node_idx: jax.Array         # (F,) int32 nearest roadmap node
+
+
+@vjit(static_argnames=("spec",))
+def assign_costs(
+    spec: GridSpec2D,
+    occ: jax.Array,
+    fr: Frontiers,
+    rm_xy: jax.Array,           # (N, 2) roadmap node positions
+    rm_valid: jax.Array,        # (N,) bool
+    robot_dist: jax.Array,      # (N,) BF distances from robot node
+    blacklisted: jax.Array,     # (F,) bool
+    alpha: float = 0.25,
+    beta: float = 1.0,
+    v_max: float = 0.5,
+    w_max: float = 0.5,
+    factor_of_max_info: float = 0.7,
+    raycast_depth_m: float = 2.0,
+) -> FrontierCosts:
+    """Full cost pipeline for all frontiers at once."""
+    F = fr.valid.shape[0]
+
+    heading, info = raycast.arrival_information(
+        spec, occ, fr.goal_xy, fr.valid, depth_m=raycast_depth_m
+    )
+
+    # roadmap path length: snap each frontier to its nearest node
+    d_nodes = jnp.linalg.norm(fr.goal_xy[:, None, :] - rm_xy[None, :, :], axis=-1)
+    d_nodes = jnp.where(rm_valid[None, :], d_nodes, INF)
+    node = jnp.argmin(d_nodes, axis=1).astype(jnp.int32)
+    snap_d = jnp.min(d_nodes, axis=1)
+    path_len = robot_dist[node] + snap_d
+    reachable = fr.valid & (path_len < INF / 2)
+
+    # achievability: not in lethal, info above the floor
+    cell_occ = raycast._sample_occ(spec, occ, fr.goal_xy)
+    not_lethal = jnp.logical_not((cell_occ != UNKNOWN) & (cell_occ >= LETHAL))
+    info_floor = factor_of_max_info * jnp.max(jnp.where(fr.valid, info, 0.0))
+    achievable = fr.valid & not_lethal & reachable & (info > 0.0)
+
+    # normalized utility (reference: FrontierCostsManager.cpp:47-213)
+    info_max = jnp.maximum(jnp.max(jnp.where(achievable, info, 0.0)), 1e-6)
+    info_norm = jnp.clip(info / info_max, 0.0, 1.0)
+    time_cost = path_len / v_max + jnp.pi / (2.0 * w_max)  # travel + nominal turn
+    t_max = jnp.max(jnp.where(achievable, time_cost, 0.0))
+    t_min = jnp.min(jnp.where(achievable, time_cost, INF))
+    time_norm = (time_cost - t_min) / jnp.maximum(t_max - t_min, 1e-6)
+    u = alpha * info_norm + (1.0 - alpha) * (1.0 - jnp.clip(time_norm, 0.0, 1.0))
+    weighted = 1.0 / jnp.maximum(beta * u, 1e-6)
+
+    excluded = jnp.logical_not(achievable) | blacklisted | (info < info_floor * 0.0)
+    weighted = jnp.where(excluded, INF, weighted)
+    return FrontierCosts(
+        arrival_info=info,
+        best_heading=heading,
+        path_length=jnp.where(reachable, path_len, INF),
+        utility=u,
+        weighted_cost=weighted,
+        achievable=achievable,
+        node_idx=node,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full-path TSP
+# ---------------------------------------------------------------------------
+
+MAX_LOCAL = 5
+_PERMS = np.array(list(permutations(range(MAX_LOCAL))), np.int32)  # (120, 5)
+
+
+class PathPlan(NamedTuple):
+    order: jax.Array        # (MAX_LOCAL,) frontier indices in visit order (-1 pad)
+    n_local: jax.Array      # () int32
+    goal_idx: jax.Array     # () int32 — first frontier to navigate to
+    total_length: jax.Array # () float32
+    has_goal: jax.Array     # () bool
+
+
+@vjit(static_argnames=())
+def optimize_full_path(
+    costs: FrontierCosts,
+    fr: Frontiers,
+    blacklisted: jax.Array,          # (F,) bool
+    pairwise_dist: jax.Array,        # (MAX_LOCAL+1, N) BF distances: row 0 =
+                                     # from robot node, rows 1.. = from the
+                                     # selected local frontiers' nodes
+    local_sel: jax.Array,            # (MAX_LOCAL,) int32 frontier idx of rows
+    local_valid: jax.Array,          # (MAX_LOCAL,) bool
+    closest_global_node: jax.Array,  # () int32 node of the closest global (-1 none)
+) -> PathPlan:
+    """Exhaustive TSP over the local set, evaluated for all 120 permutations
+    in one gather+sum (FullPathOptimizer::getBestFullPath, :456-516)."""
+    perms = jnp.asarray(_PERMS)                       # (P, 5)
+    P = perms.shape[0]
+
+    # distance robot -> first local of each perm
+    first = perms[:, 0]
+    node_of = costs.node_idx[local_sel]               # (5,) node per local row
+    d_robot = pairwise_dist[0]                        # (N,)
+    d_first = d_robot[node_of[first]]                 # (P,)
+
+    # consecutive legs: local i -> local j uses row (i+1) of pairwise_dist
+    legs = jnp.zeros((P,))
+    for k in range(MAX_LOCAL - 1):
+        a = perms[:, k]
+        b = perms[:, k + 1]
+        leg = pairwise_dist[a + 1, node_of[b]]
+        both_ok = local_valid[a] & local_valid[b]
+        legs = legs + jnp.where(both_ok, leg, 0.0)
+
+    # tail: last valid local -> closest global (optional)
+    has_global = closest_global_node >= 0
+    g_node = jnp.maximum(closest_global_node, 0)
+    last = perms[:, -1]
+    tail = jnp.where(
+        has_global & local_valid[last], pairwise_dist[last + 1, g_node], 0.0
+    )
+
+    # permutations must order valid locals first (invalid slots at the end)
+    valid_at = local_valid[perms]                     # (P, 5)
+    n_local = jnp.sum(local_valid.astype(jnp.int32))
+    pos = jnp.arange(MAX_LOCAL)[None, :]
+    proper = jnp.all(valid_at == (pos < n_local), axis=1)
+
+    total = jnp.where(proper, d_first * jnp.where(local_valid[first], 1.0, 0.0) + legs + tail, INF)
+    best = jnp.argmin(total)
+    best_perm = perms[best]
+    order = jnp.where(local_valid[best_perm], local_sel[best_perm], -1)
+    has_goal = (n_local > 0) & (total[best] < INF / 2)
+    goal_idx = jnp.where(has_goal, order[0], -1)
+    return PathPlan(
+        order=order,
+        n_local=n_local,
+        goal_idx=goal_idx.astype(jnp.int32),
+        total_length=total[best],
+        has_goal=has_goal,
+    )
+
+
+@vjit
+def select_locals(
+    costs: FrontierCosts,
+    fr: Frontiers,
+    blacklisted: jax.Array,
+    local_path_threshold: float = 12.0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Split achievable frontiers into <= MAX_LOCAL locals (shortest paths)
+    and pick the closest global (FullPathOptimizer::getFilteredFrontiersN).
+
+    Returns (local_sel (5,) frontier idx, local_valid (5,), closest_global
+    frontier idx or -1)."""
+    eligible = costs.achievable & jnp.logical_not(blacklisted)
+    is_local = eligible & (costs.path_length <= local_path_threshold)
+    # top-5 locals by weighted cost (lowest)
+    score = jnp.where(is_local, -costs.weighted_cost, -INF)
+    _, sel = jax.lax.top_k(score, MAX_LOCAL)
+    sel_valid = is_local[sel]
+
+    is_global = eligible & (costs.path_length > local_path_threshold)
+    g_score = jnp.where(is_global, -costs.path_length, -INF)
+    g_idx = jnp.argmax(g_score)
+    has_g = is_global[g_idx]
+    return sel.astype(jnp.int32), sel_valid, jnp.where(has_g, g_idx, -1).astype(jnp.int32)
+
+
+def goal_hysteresis(prev_goal_xy, new_goal_xy, prev_valid, new_valid,
+                    robot_xy, switch_threshold_m: float = 3.0):
+    """Goal stickiness (HysterisisControl, ExplorationBT.cpp:670-785): keep
+    the previous goal unless the new one is >= threshold closer. Host math."""
+    import numpy as np
+
+    if not prev_valid:
+        return new_goal_xy, new_valid
+    if not new_valid:
+        return prev_goal_xy, prev_valid
+    d_prev = float(np.linalg.norm(np.asarray(prev_goal_xy) - np.asarray(robot_xy)))
+    d_new = float(np.linalg.norm(np.asarray(new_goal_xy) - np.asarray(robot_xy)))
+    if d_new < d_prev - switch_threshold_m:
+        return new_goal_xy, True
+    return prev_goal_xy, True

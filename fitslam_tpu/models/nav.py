@@ -1,0 +1,186 @@
+"""Navigation layer: grid planner, controller, costmap services.
+
+Reference capability (SURVEY.md §2.4 + §2.3 E11/E12/E15):
+- NavFn planner (vendored Willow-Garage Dijkstra potential field,
+  planners/planner.cpp): here a wavefront potential computed by iterated
+  min-plus relaxation sweeps — a Bellman-Ford on the grid that the VPU eats
+  as 4 rolled adds + min per sweep; path extraction follows the potential
+  downhill.
+- Theta*-style smoothing (planners/theta_star.cpp): line-of-sight shortcuts
+  via ops/raycast.refine (roadmap.refine_path_los).
+- RegulatedPurePursuitController (active_slam_nav2_params.yaml:69-119):
+  host-side math producing (v, omega) from the current pose and path.
+- LethalMarker costmap layer (E15, keepout_layer.cpp): mark_lethal_zone
+  service rasterizes an isosceles FOV wedge (45 deg apex, 3.5 m height) as
+  cost 253; zones persist across resizes. Here: a point-in-triangle mask
+  kernel OR-ed into a persistent overlay grid.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fitslam_tpu.utils.jit import vjit
+from fitslam_tpu.ops.grid import LETHAL, UNKNOWN, GridSpec2D
+
+BIG = 1e9
+
+
+@vjit(static_argnames=("spec", "iters", "allow_unknown"))
+def wavefront_potential(
+    spec: GridSpec2D,
+    occ: jax.Array,            # (G, G) occupancy
+    goal_xy: jax.Array,        # (2,) world
+    iters: int = 256,
+    allow_unknown: bool = True,
+    unknown_penalty: float = 2.0,
+    cost_weight: float = 0.02,
+) -> jax.Array:
+    """Min-plus relaxation potential field from the goal (NavFn equivalent).
+
+    Each sweep relaxes all cells against their 4-neighbors; `iters` bounds
+    the path length in cells. Returns (G, G) potential (BIG = unreachable).
+    """
+    G = spec.size
+    occ_i = occ.astype(jnp.int32)
+    lethal = (occ_i != UNKNOWN) & (occ_i >= LETHAL)
+    unknown = occ_i == UNKNOWN
+    passable = jnp.logical_not(lethal) & (allow_unknown | jnp.logical_not(unknown))
+
+    # per-cell traversal cost: resolution * (1 + w * cost) (+ unknown penalty)
+    base = spec.resolution * (
+        1.0 + cost_weight * jnp.where(occ_i == UNKNOWN, 0, occ_i).astype(jnp.float32)
+    )
+    step_cost = jnp.where(unknown, base * unknown_penalty, base)
+    step_cost = jnp.where(passable, step_cost, BIG)
+
+    cell, ok = spec.world_to_cell(goal_xy)
+    goal_flat = jnp.clip(cell[1] * G + cell[0], 0, G * G - 1)
+    pot0 = jnp.full((G * G,), BIG).at[goal_flat].set(0.0).reshape(G, G)
+
+    def sweep(_, pot):
+        up = jnp.roll(pot, 1, axis=0).at[0, :].set(BIG)
+        dn = jnp.roll(pot, -1, axis=0).at[-1, :].set(BIG)
+        lf = jnp.roll(pot, 1, axis=1).at[:, 0].set(BIG)
+        rt = jnp.roll(pot, -1, axis=1).at[:, -1].set(BIG)
+        best = jnp.minimum(jnp.minimum(up, dn), jnp.minimum(lf, rt))
+        cand = best + step_cost
+        return jnp.minimum(pot, jnp.where(passable, cand, BIG))
+
+    return jax.lax.fori_loop(0, iters, sweep, pot0)
+
+
+@vjit(static_argnames=("spec", "max_steps"))
+def descend_potential(
+    spec: GridSpec2D,
+    pot: jax.Array,
+    start_xy: jax.Array,
+    max_steps: int = 256,
+) -> Tuple[jax.Array, jax.Array]:
+    """Follow the potential downhill (8-connected) from start to the goal.
+
+    Returns (path (max_steps, 2) world coords, valid (max_steps,) bool).
+    """
+    G = spec.size
+    offs = jnp.array(
+        [(0, 1), (0, -1), (1, 0), (-1, 0), (1, 1), (1, -1), (-1, 1), (-1, -1)],
+        jnp.int32,
+    )  # (8, 2) as (dy, dx)
+    cell, _ = spec.world_to_cell(start_xy)
+    start = jnp.array([cell[1], cell[0]])  # (row, col)
+
+    def body(carry, _):
+        rc, done = carry
+        cand = rc[None, :] + offs
+        cand = jnp.clip(cand, 0, G - 1)
+        vals = pot[cand[:, 0], cand[:, 1]]
+        best = jnp.argmin(vals)
+        cur = pot[rc[0], rc[1]]
+        improve = vals[best] < cur
+        nxt = jnp.where(improve & jnp.logical_not(done), cand[best], rc)
+        done2 = done | jnp.logical_not(improve) | (cur <= 1e-6)
+        return (nxt, done2), (nxt, jnp.logical_not(done2))
+
+    (_, _), (cells, ok) = jax.lax.scan(
+        body, (start, jnp.bool_(False)), None, length=max_steps
+    )
+    xy = spec.cell_to_world(jnp.stack([cells[:, 1], cells[:, 0]], axis=-1))
+    return xy, ok
+
+
+class PurePursuit:
+    """Regulated pure-pursuit controller (host-side; N3 capability)."""
+
+    def __init__(self, desired_speed=0.5, lookahead=0.6, max_omega=1.0,
+                 rotate_to_heading=True, heading_tolerance=0.6,
+                 regulate_radius=0.6):
+        self.v = desired_speed
+        self.lookahead = lookahead
+        self.max_omega = max_omega
+        self.rotate_to_heading = rotate_to_heading
+        self.heading_tol = heading_tolerance
+        self.regulate_radius = regulate_radius
+
+    def command(self, pose_xy, yaw, path_xy: np.ndarray) -> Tuple[float, float, bool]:
+        """Returns (v, omega, reached). path_xy: (W, 2) world waypoints."""
+        if len(path_xy) == 0:
+            return 0.0, 0.0, True
+        p = np.asarray(pose_xy, np.float64)
+        d = np.linalg.norm(path_xy - p, axis=1)
+        goal_d = d[-1]
+        if goal_d < 0.25:
+            return 0.0, 0.0, True
+        # lookahead point: first waypoint beyond lookahead distance
+        beyond = np.nonzero(d >= self.lookahead)[0]
+        target = path_xy[beyond[0]] if len(beyond) else path_xy[-1]
+        dx, dy = target - p
+        heading_err = math.atan2(dy, dx) - yaw
+        heading_err = (heading_err + math.pi) % (2 * math.pi) - math.pi
+        if self.rotate_to_heading and abs(heading_err) > self.heading_tol:
+            return 0.0, float(np.clip(2.0 * heading_err, -self.max_omega, self.max_omega)), False
+        # regulated speed: slow near the goal and in tight turns
+        v = self.v * min(1.0, goal_d / self.regulate_radius)
+        curvature = 2.0 * math.sin(heading_err) / max(self.lookahead, 1e-3)
+        omega = float(np.clip(v * curvature, -self.max_omega, self.max_omega))
+        return float(v), omega, False
+
+
+# ---------------------------------------------------------------------------
+# LethalMarker overlay (E15)
+# ---------------------------------------------------------------------------
+
+
+@vjit(static_argnames=("spec",))
+def mark_lethal_wedge(
+    spec: GridSpec2D,
+    overlay: jax.Array,        # (G, G) bool persistent lethal overlay
+    apex_xy: jax.Array,        # (2,) world — wedge apex (robot position)
+    yaw: jax.Array,            # () heading of the wedge axis
+    apex_angle_rad: float = 0.7854,   # 45 deg
+    height_m: float = 3.5,
+) -> jax.Array:
+    """OR an isosceles-triangle FOV wedge into the overlay
+    (keepout_layer.cpp:74-126 mark_lethal_zone service)."""
+    G = spec.size
+    yy = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    wx = (xx.astype(jnp.float32) + 0.5) * spec.resolution + spec.origin_x
+    wy = (yy.astype(jnp.float32) + 0.5) * spec.resolution + spec.origin_y
+    dx = wx - apex_xy[0]
+    dy = wy - apex_xy[1]
+    r = jnp.sqrt(dx * dx + dy * dy)
+    ang = jnp.arctan2(dy, dx) - yaw
+    ang = jnp.mod(ang + jnp.pi, 2 * jnp.pi) - jnp.pi
+    inside = (r <= height_m) & (jnp.abs(ang) <= apex_angle_rad / 2.0)
+    return overlay | inside
+
+
+def apply_overlay(occ: jax.Array, overlay: jax.Array) -> jax.Array:
+    """Overlay lethal zones onto an occupancy grid (cost 253-equivalent)."""
+    return jnp.where(overlay, jnp.uint8(LETHAL), occ)

@@ -26,7 +26,7 @@ from fitslam_tpu.utils.jit import vjit
 
 from fitslam_tpu.ops.grid import FREE, LETHAL, UNKNOWN, GridSpec2D
 
-_INF = jnp.int32(2**30)
+_INF = 2**30  # python int literal (no captured device scalar)
 
 
 class Frontiers(NamedTuple):

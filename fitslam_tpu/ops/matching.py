@@ -15,7 +15,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-BIG = jnp.int32(1 << 20)  # sentinel distance for masked entries (>> 256 bits)
+BIG = 1 << 20  # sentinel distance for masked entries (>> 256 bits); python int
+# so it embeds as a literal instead of a captured device scalar
 
 
 class Matches(NamedTuple):

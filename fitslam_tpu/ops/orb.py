@@ -129,15 +129,18 @@ def _make_rotated_diff_matrix() -> np.ndarray:
     return D
 
 
-_DIFF_MATRIX = jnp.asarray(_make_rotated_diff_matrix(), jnp.bfloat16)
+# NOTE: kept as host numpy and converted at trace time — capturing a
+# pre-existing device array in jit hits a pathological constant-upload path
+# on this backend (52 ms/call + degrades the whole process; see utils/jit.py)
+_DIFF_MATRIX = _make_rotated_diff_matrix().astype(np.float32)
 
 # centroid weights for orientation (circular mask radius 15), as a single
 # (PATCH*PATCH, 2) matrix so orientation is one matvec on the MXU
 _rr, _cc = np.meshgrid(np.arange(PATCH) - HALF, np.arange(PATCH) - HALF, indexing="ij")
 _CIRC = ((_rr**2 + _cc**2) <= 15**2).astype(np.float32)
-_W_CENTROID = jnp.asarray(
-    np.stack([(_cc * _CIRC).reshape(-1), (_rr * _CIRC).reshape(-1)], axis=-1)
-)  # columns: [x-moment, y-moment]
+_W_CENTROID = np.stack(
+    [(_cc * _CIRC).reshape(-1), (_rr * _CIRC).reshape(-1)], axis=-1
+).astype(np.float32)  # columns: [x-moment, y-moment]; host-side, see note above
 
 
 # ---------------------------------------------------------------------------
@@ -210,7 +213,7 @@ def _extract_patches(img: jax.Array, xy_int: jax.Array) -> jax.Array:
 
 
 def _orientations(patches: jax.Array) -> jax.Array:
-    m = patches.reshape(patches.shape[0], -1) @ _W_CENTROID  # (N, 2) = [m10, m01]
+    m = patches.reshape(patches.shape[0], -1) @ jnp.asarray(_W_CENTROID)  # (N, 2) = [m10, m01]
     return jnp.arctan2(m[:, 1], m[:, 0])
 
 
@@ -226,7 +229,7 @@ def _descriptors(patches_smooth: jax.Array, angle: jax.Array) -> jax.Array:
     bin_f = jnp.round(angle / two_pi * N_ANGLE_BINS).astype(jnp.int32) % N_ANGLE_BINS
     flat = patches_smooth.reshape(n, PATCH * PATCH).astype(jnp.bfloat16)
     diffs = jax.lax.dot_general(
-        flat, _DIFF_MATRIX,
+        flat, jnp.asarray(_DIFF_MATRIX, jnp.bfloat16),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(n, N_ANGLE_BINS, N_PAIRS)
