@@ -77,16 +77,20 @@ def main():
         l, r = render(T_gt.R[i], T_gt.t[i])
         frames.append((jax.block_until_ready(l), jax.block_until_ready(r)))
 
-    slam = StereoSlam(cfg)
-    # warmup: first frames trigger compiles of init/track/KF-insert/BA paths
-    for i in range(6):
-        slam.process_frame(*frames[i])
+    # pass 1 (uncounted): drives every code path — tracking, keyframe insert,
+    # local BA, culling, loop detection — so all jit compiles happen here
+    warm = StereoSlam(cfg)
+    for i in range(N_FRAMES):
+        warm.process_frame(*frames[i])
 
+    # pass 2 (measured): fresh SLAM instance, fully warm executables
+    slam = StereoSlam(cfg)
+    slam.process_frame(*frames[0])  # init path
     t0 = time.monotonic()
-    for i in range(6, N_FRAMES):
+    for i in range(1, N_FRAMES):
         slam.process_frame(*frames[i])
     wall = time.monotonic() - t0
-    fps = (N_FRAMES - 6) / wall
+    fps = (N_FRAMES - 1) / wall
 
     gt = [np.asarray(lie.SE3(T_gt.R[i], T_gt.t[i]).matrix()) for i in range(N_FRAMES)]
     ate = ev.ate_rmse(slam.trajectory, gt)

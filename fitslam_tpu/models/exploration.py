@@ -1,0 +1,432 @@
+"""Exploration server: the behavior-tree tick loop as explicit control flow.
+
+Reference capability: FrontierExplorationServer / ExplorationBT (SURVEY.md
+§2.3 E1-E2, ExplorationBT.cpp) — the BehaviorTree.CPP tick loop with its ~14
+node types. Here the Fallback/Retry/Rate semantics are explicit host control
+flow around jitted kernels, state machines and all:
+
+- SearchForFrontiers with search-radius growth on failure (:166-197)
+- UpdateFrontierRoadmap / CleanupRoadmap with loop-closure correction
+  (:247-257, :292-350)
+- ProcessFrontierCosts (CostAssigner/FrontierCostsManager pipeline)
+- OptimizeFullPath: TSP + Fisher-information safety ladder with retry,
+  pose blacklisting, lethal-FOV marking and fi_drop oscillation detection
+  (:517-668; FI ladder §3.3)
+- HysterisisControl goal stickiness (:670-785)
+- SendNav2Goal with timeout + failure-count blacklisting (:883-974)
+- CheckIfGoalMapped replan trigger (:976-1048)
+- RecoveryMoveBack / ExecuteRecoveryMove (E14)
+- pause/play control surface (RViz panel equivalent, :1360-1373)
+
+The server is engine-agnostic: it talks to a `NavInterface` (goal in, status
+out) and reads occupancy through a callback — the same seams the reference
+has at the Nav2 action and costmap boundaries.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fitslam_tpu.models import costs as cx
+from fitslam_tpu.models import nav as navx
+from fitslam_tpu.models import roadmap as rmx
+from fitslam_tpu.ops import frontier as fx
+from fitslam_tpu.ops import fisher
+from fitslam_tpu.ops import raycast
+from fitslam_tpu.ops.grid import UNKNOWN, GridSpec2D
+from fitslam_tpu.utils.config import FitSlamConfig
+from fitslam_tpu.utils.profiling import EventLogger, MODULE
+from fitslam_tpu.utils import logging as logx
+
+
+class GoalStatus(Enum):
+    ACTIVE = 0     # reference Nav2Interface state 0
+    DONE = 1
+    ABORTED = -1
+    NONE = 2
+
+
+class NavInterface:
+    """Abstract Nav2 boundary (SURVEY.md §2.3 E13). Implementations: the
+    simulated rover driver (SimNavInterface) or an external bridge."""
+
+    def send_goal(self, goal_xy, heading: float):  # pragma: no cover
+        raise NotImplementedError
+
+    def cancel(self):  # pragma: no cover
+        raise NotImplementedError
+
+    def status(self) -> GoalStatus:  # pragma: no cover
+        raise NotImplementedError
+
+
+class ExplorationState(Enum):
+    PAUSED = 0
+    EXPLORING = 1
+    RECOVERING = 2
+    DONE = 3
+    FAILED = 4
+
+
+@dataclass
+class ExplorationDiagnostics:
+    ticks: int = 0
+    frontiers_found: int = 0
+    goals_sent: int = 0
+    replans: int = 0
+    fi_rejections: int = 0
+    recoveries: int = 0
+    blacklisted: int = 0
+    loop_corrections: int = 0
+
+
+class ExplorationServer:
+    def __init__(
+        self,
+        cfg: FitSlamConfig,
+        spec: GridSpec2D,
+        get_occupancy: Callable[[], jax.Array],
+        nav: NavInterface,
+        get_robot_pose: Callable[[], Tuple[np.ndarray, float]],
+        fi_oracle: Optional[Callable[[np.ndarray, float, bool], float]] = None,
+        get_kf_poses: Optional[Callable[[], Tuple]] = None,
+        event_logger: Optional[EventLogger] = None,
+    ):
+        self.cfg = cfg
+        self.spec = spec
+        self.get_occupancy = get_occupancy
+        self.nav = nav
+        self.get_robot_pose = get_robot_pose
+        self.fi_oracle = fi_oracle
+        self.get_kf_poses = get_kf_poses
+        self.log = event_logger or EventLogger(time_tier=MODULE)
+
+        rcfg = cfg.roadmap
+        self.roadmap = rmx.empty_roadmap(rcfg.max_nodes, rcfg.max_edges_per_node)
+        self.lethal_overlay = jnp.zeros((spec.size, spec.size), bool)
+        self.blacklist_xy: List[np.ndarray] = []     # blacklisted goal circles
+        self.trailing_poses: List[np.ndarray] = []   # last N robot poses
+        self.state = ExplorationState.EXPLORING
+        self.diag = ExplorationDiagnostics()
+
+        self._search_radius = cfg.frontier_search.search_radius_m
+        self._goal_xy: Optional[np.ndarray] = None
+        self._goal_heading = 0.0
+        self._goal_sent_tick = -1
+        self._goal_failures: Dict[Tuple[int, int], int] = {}
+        self._fi_drops: List[int] = []
+        self._last_cleanup = 0.0
+        self._recovery_ticks_left = 0
+        self._fi_exhaustive_retry = False
+
+    # ------------------------------------------------------------------
+    # Control surface (RViz panel equivalent)
+    # ------------------------------------------------------------------
+
+    def pause(self):
+        self.state = ExplorationState.PAUSED
+        self.nav.cancel()
+
+    def resume(self):
+        if self.state == ExplorationState.PAUSED:
+            self.state = ExplorationState.EXPLORING
+
+    # ------------------------------------------------------------------
+    # Main tick
+    # ------------------------------------------------------------------
+
+    def tick(self) -> ExplorationState:
+        """One BT-equivalent iteration."""
+        self.diag.ticks += 1
+        if self.state in (ExplorationState.PAUSED, ExplorationState.DONE,
+                          ExplorationState.FAILED):
+            return self.state
+
+        robot_xy, robot_yaw = self.get_robot_pose()
+        occ = navx.apply_overlay(self.get_occupancy(), self.lethal_overlay)
+
+        if self.state == ExplorationState.RECOVERING:
+            return self._tick_recovery(occ, robot_xy, robot_yaw)
+
+        # -- roadmap upkeep --
+        with self.log.scope("roadmap.update", MODULE):
+            self._update_roadmap(occ, robot_xy)
+
+        # -- frontier search with radius growth (SearchForFrontiers) --
+        with self.log.scope("frontier_search", MODULE):
+            fr = self._search_frontiers(occ, robot_xy)
+        n_frontiers = int(fr.valid.sum())
+        self.diag.frontiers_found = n_frontiers
+        if n_frontiers == 0:
+            if self._search_radius >= self.spec.extent:
+                # nothing left anywhere -> exploration complete
+                self.nav.cancel()
+                self.state = ExplorationState.DONE
+                return self.state
+            self._search_radius = min(
+                self._search_radius * self.cfg.frontier_search.search_radius_growth,
+                self.spec.extent,
+            )
+            return self.state
+        self._search_radius = self.cfg.frontier_search.search_radius_m
+
+        # -- costs --
+        with self.log.scope("frontier_costs", MODULE):
+            robot_dist, parent, src = rmx.shortest_paths(self.roadmap, jnp.asarray(robot_xy, jnp.float32))
+            blacklisted = self._blacklist_mask(fr)
+            costs = cx.assign_costs(
+                self.spec, occ, fr, self.roadmap.xy, self.roadmap.valid,
+                robot_dist, blacklisted,
+                alpha=self.cfg.cost_assigner.alpha,
+                beta=self.cfg.cost_assigner.beta,
+                v_max=self.cfg.cost_assigner.max_linear_velocity,
+                w_max=self.cfg.cost_assigner.max_angular_velocity,
+            )
+
+        # -- full path optimization (TSP) --
+        with self.log.scope("optimize_full_path", MODULE):
+            plan = self._optimize_path(costs, fr, blacklisted, robot_dist, robot_xy)
+        if plan is None or not bool(plan.has_goal):
+            # no reachable goal: widen next tick; after repeated failure -> done
+            self._search_radius = min(
+                self._search_radius * self.cfg.frontier_search.search_radius_growth,
+                self.spec.extent,
+            )
+            return self.state
+
+        goal_i = int(plan.goal_idx)
+        new_goal = np.asarray(fr.goal_xy[goal_i])
+        new_heading = float(costs.best_heading[goal_i])
+
+        # -- Fisher-information safety gate (EvaluateFisherInformation) --
+        if not self._fi_gate(robot_xy, robot_yaw, occ):
+            return self.state
+
+        # -- goal hysteresis (released once the previous goal is reached) --
+        if self.nav.status() == GoalStatus.DONE and self._goal_xy is not None:
+            self._goal_xy = None
+        goal, _ = cx.goal_hysteresis(
+            self._goal_xy, new_goal, self._goal_xy is not None, True, robot_xy,
+            self.cfg.goal_hysteresis.switch_threshold_m
+            if self.cfg.goal_hysteresis.enabled else -1e9,
+        )
+        goal = np.asarray(goal)
+
+        # -- dispatch / monitor --
+        self._send_or_monitor(goal, new_heading, occ, robot_xy)
+        return self.state
+
+    # ------------------------------------------------------------------
+    # Stages
+    # ------------------------------------------------------------------
+
+    def _search_frontiers(self, occ, robot_xy) -> fx.Frontiers:
+        fcfg = self.cfg.frontier_search
+        return fx.extract_frontiers(
+            self.spec, occ, jnp.asarray(robot_xy, jnp.float32),
+            jnp.float32(self._search_radius),
+            max_cells=4096,
+            max_frontiers=fcfg.max_frontiers,
+            max_cluster_size=fcfg.max_frontier_cluster_size,
+            min_cluster_size=fcfg.min_frontier_cluster_size,
+            cc_iters=fcfg.cc_iters,
+        )
+
+    def _update_roadmap(self, occ, robot_xy):
+        rcfg = self.cfg.roadmap
+        kf_T_cw, n_kf = self._kf_poses()
+        # robot pose as node + trailing deque (reference :264-277)
+        cand = jnp.asarray(robot_xy, jnp.float32)[None, :]
+        self.roadmap = rmx.add_nodes(
+            self.roadmap, cand, jnp.ones((1,), bool), jnp.zeros((1,), bool),
+            kf_T_cw, n_kf, rcfg.min_node_separation,
+        )
+        self.trailing_poses.append(np.asarray(robot_xy))
+        if len(self.trailing_poses) > rcfg.trailing_pose_count:
+            self.trailing_poses.pop(0)
+
+        # periodic full reconstruction + loop-closure correction (CleanupRoadmap)
+        now = self.log.time_since_start()
+        if now - self._last_cleanup > rcfg.cleanup_period_s:
+            self._last_cleanup = now
+            if rcfg.correct_loop_closure:
+                self.roadmap = rmx.reanchor_nodes(self.roadmap, kf_T_cw)
+                self.diag.loop_corrections += 1
+            self.roadmap = rmx.connect_edges(
+                self.roadmap, self.spec, occ,
+                rcfg.max_edge_length, rcfg.max_unknown_fraction,
+            )
+        else:
+            self.roadmap = rmx.connect_edges(
+                self.roadmap, self.spec, occ,
+                rcfg.max_edge_length, rcfg.max_unknown_fraction,
+            )
+
+    def add_frontier_nodes(self, fr: fx.Frontiers):
+        kf_T_cw, n_kf = self._kf_poses()
+        self.roadmap = rmx.add_nodes(
+            self.roadmap, fr.goal_xy, fr.valid, jnp.ones_like(fr.valid),
+            kf_T_cw, n_kf, self.cfg.roadmap.min_node_separation,
+        )
+
+    def _kf_poses(self):
+        if self.get_kf_poses is not None:
+            return self.get_kf_poses()
+        from fitslam_tpu.ops import lie
+
+        return lie.SE3.identity((1,)), jnp.int32(1)
+
+    def _blacklist_mask(self, fr: fx.Frontiers) -> jax.Array:
+        if not self.blacklist_xy:
+            return jnp.zeros(fr.valid.shape, bool)
+        bl = jnp.asarray(np.stack(self.blacklist_xy), jnp.float32)  # (B, 2)
+        d = jnp.linalg.norm(fr.goal_xy[:, None, :] - bl[None, :, :], axis=-1)
+        return jnp.any(d < self.cfg.path_optimizer.blacklist_radius_m, axis=1)
+
+    def _optimize_path(self, costs, fr, blacklisted, robot_dist, robot_xy):
+        self.add_frontier_nodes(fr)
+        sel, sel_valid, g_idx = cx.select_locals(
+            costs, fr, blacklisted, self.cfg.path_optimizer.local_path_threshold_m
+        )
+        if int(sel_valid.sum()) == 0 and int(g_idx) < 0:
+            return None
+        # BF rows: robot + each selected local
+        rows = [robot_dist]
+        for i in range(cx.MAX_LOCAL):
+            xy = fr.goal_xy[sel[i]]
+            d, _, _ = rmx.shortest_paths(self.roadmap, xy)
+            rows.append(d)
+        pairwise = jnp.stack(rows)
+        g_node = jnp.where(g_idx >= 0, costs.node_idx[jnp.maximum(g_idx, 0)], -1)
+        plan = cx.optimize_full_path(
+            costs, fr, blacklisted, pairwise, sel, sel_valid, g_node
+        )
+        if not bool(plan.has_goal) and int(g_idx) >= 0:
+            # closest-global fallback (reference getFilteredFrontiersN)
+            import jax.numpy as _jnp
+
+            plan = plan._replace(
+                goal_idx=jnp.int32(int(g_idx)), has_goal=jnp.bool_(True)
+            )
+        return plan
+
+    # ------------------------------------------------------------------
+    # Fisher-information retry ladder (§3.3)
+    # ------------------------------------------------------------------
+
+    def _fi_gate(self, robot_xy, robot_yaw, occ) -> bool:
+        if self.fi_oracle is None or not self.cfg.fisher_information.enabled:
+            return True
+        info = self.fi_oracle(robot_xy, robot_yaw, self._fi_exhaustive_retry)
+        threshold = self.cfg.fisher_information.threshold
+        if info > threshold:
+            self._fi_exhaustive_retry = False
+            return True
+
+        self.diag.fi_rejections += 1
+        logx.warn(f"FI gate: info {info:.1f} < {threshold} at {robot_xy}")
+        self.nav.cancel()
+        if not self._fi_exhaustive_retry:
+            # rung 1: retry with exhaustive landmark search
+            self._fi_exhaustive_retry = True
+            return False
+        # rung 2: blacklist ahead + mark lethal FOV wedge + recovery
+        self._fi_exhaustive_retry = False
+        look = self.cfg.fisher_information.blacklist_lookahead_m
+        ahead = np.asarray(robot_xy) + look * np.array(
+            [math.cos(robot_yaw), math.sin(robot_yaw)]
+        )
+        self.blacklist_xy.append(ahead)
+        self.diag.blacklisted += 1
+        self.lethal_overlay = navx.mark_lethal_wedge(
+            self.spec, self.lethal_overlay, jnp.asarray(robot_xy, jnp.float32),
+            jnp.float32(robot_yaw),
+            apex_angle_rad=math.radians(self.cfg.fisher_information.lethal_wedge_apex_deg),
+            height_m=self.cfg.fisher_information.lethal_wedge_height_m,
+        )
+        # fi_drop oscillation detector (ExplorationBT fi_drop_count)
+        self._fi_drops.append(self.diag.ticks)
+        w = self.cfg.exploration_bt.fi_drop_window
+        recent = [t for t in self._fi_drops if self.diag.ticks - t < w * 10]
+        self._fi_drops = recent
+        self._start_recovery()
+        return False
+
+    def _start_recovery(self):
+        self.state = ExplorationState.RECOVERING
+        self.diag.recoveries += 1
+        self._recovery_ticks_left = max(
+            1, int(self.cfg.recovery.move_distance_m / self.cfg.recovery.speed
+                   / max(self.cfg.exploration_bt.tick_dt_s, 1e-3))
+        )
+
+    def _tick_recovery(self, occ, robot_xy, robot_yaw) -> ExplorationState:
+        """Open-loop recovery move toward the freer direction (E14)."""
+        dirs = jnp.asarray(
+            [[math.cos(robot_yaw), math.sin(robot_yaw)],
+             [-math.cos(robot_yaw), -math.sin(robot_yaw)]], jnp.float32
+        )
+        free = raycast.free_distance(
+            self.spec, occ, jnp.asarray(robot_xy, jnp.float32), dirs,
+            max_dist=self.cfg.recovery.probe_distance_m,
+        )
+        sign = 1.0 if float(free[0]) >= float(free[1]) else -1.0
+        v = sign * self.cfg.recovery.speed
+        if hasattr(self.nav, "drive_open_loop"):
+            self.nav.drive_open_loop(v, 0.0)
+        self._recovery_ticks_left -= 1
+        if self._recovery_ticks_left <= 0:
+            self.state = ExplorationState.EXPLORING
+        return self.state
+
+    # ------------------------------------------------------------------
+    # Goal dispatch (SendNav2Goal / CheckIfGoalMapped / timeout)
+    # ------------------------------------------------------------------
+
+    def _send_or_monitor(self, goal, heading, occ, robot_xy):
+        bt = self.cfg.exploration_bt
+        status = self.nav.status()
+        same_goal = (
+            self._goal_xy is not None
+            and float(np.linalg.norm(goal - self._goal_xy)) < 0.3
+        )
+        if status == GoalStatus.ACTIVE and same_goal:
+            # CheckIfGoalMapped: replan once the goal cell becomes known
+            cell_occ = int(np.asarray(raycast._sample_occ(
+                self.spec, occ, jnp.asarray(goal, jnp.float32)[None, :]))[0])
+            if cell_occ != UNKNOWN:
+                self.diag.replans += 1
+                self.nav.cancel()
+                self._goal_xy = None
+                return
+            # timeout -> abort + count failure
+            if (self.diag.ticks - self._goal_sent_tick) * bt.tick_dt_s > bt.nav2_goal_timeout_s:
+                self._on_goal_failure(goal)
+            return
+        if status == GoalStatus.ABORTED and same_goal:
+            self._on_goal_failure(goal)
+            return
+        # (re)send
+        self.nav.send_goal(goal, heading)
+        self._goal_xy = goal
+        self._goal_heading = heading
+        self._goal_sent_tick = self.diag.ticks
+        self.diag.goals_sent += 1
+
+    def _on_goal_failure(self, goal):
+        key = (int(goal[0] * 4), int(goal[1] * 4))
+        self._goal_failures[key] = self._goal_failures.get(key, 0) + 1
+        self.nav.cancel()
+        self._goal_xy = None
+        if self._goal_failures[key] >= self.cfg.exploration_bt.max_nav_failures_before_blacklist:
+            self.blacklist_xy.append(np.asarray(goal))
+            self.diag.blacklisted += 1
+            if self.cfg.exploration_bt.abort_on_nav_abort:
+                self.state = ExplorationState.FAILED
