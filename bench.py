@@ -66,15 +66,11 @@ def main():
     T_gt = synthetic.straight_trajectory(N_FRAMES, length=N_FRAMES * 0.15,
                                          height=1.2, start_x=0.5)
 
-    render = jax.jit(
-        lambda R, t: synthetic.render_dense(
-            K, world, lie.SE3(R, t), width=W, height=H,
-            splat_sigma=1.2, max_depth=18.0,
-        )
-    )
     frames = []
     for i in range(N_FRAMES):
-        l, r = render(T_gt.R[i], T_gt.t[i])
+        l, r = synthetic.render_stereo(
+            K, world, lie.SE3(T_gt.R[i], T_gt.t[i]), width=W, height=H,
+        )
         frames.append((jax.block_until_ready(l), jax.block_until_ready(r)))
 
     # pass 1 (uncounted): drives every code path — tracking, keyframe insert,

@@ -71,18 +71,12 @@ def main():
                                          height=1.2, start_x=0.5)
 
     slam = StereoSlam(cfg)
-    render = jax.jit(
-        lambda R, t: synthetic.render_dense(
-            K, world, lie.SE3(R, t), width=W, height=H,
-            splat_sigma=1.2, max_depth=18.0,
-        )
-    )
 
     print(f"[run_vo] {args.frames} frames @ {W}x{H}, {args.features} features, "
           f"{args.levels} pyramid levels on {jax.devices()[0].platform}")
     t0 = None
     for i in range(args.frames):
-        left, right = render(T_gt.R[i], T_gt.t[i])
+        left, right = synthetic.render_stereo(K, world, lie.SE3(T_gt.R[i], T_gt.t[i]), width=W, height=H)
         jax.block_until_ready(left)
         if i == 1:
             t0 = time.monotonic()  # skip frame 0 (compile)

@@ -182,3 +182,102 @@ def _splat(u, v, lum, height, width, sigma):
         jnp.where(inb, vals, 0.0).reshape(-1), mode="drop"
     )[: height * width]
     return jnp.clip(img.reshape(height, width), 0.0, 255.0)
+
+
+# ---------------------------------------------------------------------------
+# 3D worlds derived from occupancy grids (active-SLAM simulation)
+# ---------------------------------------------------------------------------
+
+
+def world_from_occupancy(
+    occ: np.ndarray,           # (G, G) uint8 ground-truth grid {0 free, 254 wall}
+    spec,                      # GridSpec2D
+    key,
+    wall_height: float = 2.0,
+    points_per_wall_cell: int = 6,
+    floor_points: int = 3000,
+) -> World:
+    """Build a 3D landmark world from a 2D grid: textured wall surfaces at
+    lethal cells + textured floor. Serves both the visual frontend (rendered
+    blobs / sparse features) and traversability (frustum clouds)."""
+    import numpy as _np
+
+    rng = _np.random.RandomState(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    wall_cells = _np.argwhere(_np.asarray(occ) >= 200)  # (W, 2) as (row, col)
+    pts = []
+    if len(wall_cells):
+        reps = _np.repeat(wall_cells, points_per_wall_cell, axis=0)
+        jitter = rng.uniform(0, 1, (len(reps), 2))
+        xy = _np.stack(
+            [
+                (reps[:, 1] + jitter[:, 0]) * spec.resolution + spec.origin_x,
+                (reps[:, 0] + jitter[:, 1]) * spec.resolution + spec.origin_y,
+            ],
+            axis=-1,
+        )
+        z = rng.uniform(0.0, wall_height, (len(reps), 1))
+        pts.append(_np.concatenate([xy, z], axis=-1))
+    # floor texture points on free cells
+    free_cells = _np.argwhere(_np.asarray(occ) < 200)
+    sel = free_cells[rng.randint(0, len(free_cells), floor_points)]
+    jitter = rng.uniform(0, 1, (floor_points, 2))
+    xy = _np.stack(
+        [
+            (sel[:, 1] + jitter[:, 0]) * spec.resolution + spec.origin_x,
+            (sel[:, 0] + jitter[:, 1]) * spec.resolution + spec.origin_y,
+        ],
+        axis=-1,
+    )
+    z = _np.abs(rng.normal(0.0, 0.02, (floor_points, 1)))
+    pts.append(_np.concatenate([xy, z], axis=-1))
+    return World(jnp.asarray(_np.concatenate(pts, axis=0), jnp.float32))
+
+
+def frustum_cloud(
+    K: Intrinsics,
+    world: World,
+    T_wc: lie.SE3,
+    max_points: int,
+    max_depth: float = 10.0,
+    width: int = 640,
+    height: int = 480,
+) -> Tuple[jax.Array, jax.Array]:
+    """Camera-frame point cloud of world points inside the view frustum —
+    the slam_keyframe_pcl_simulator equivalent (SURVEY.md §2.1 S6): the
+    per-keyframe cloud source for traversability without a depth sensor.
+    Returns ((max_points, 3) camera-frame points, (max_points,) mask)."""
+    T_cw = lie.inverse(T_wc)
+    p_c = lie.apply(T_cw, world.landmarks)
+    z = p_c[..., 2]
+    z_ok = z > 0.2
+    zs = jnp.where(z_ok, z, 1.0)
+    u = K.fx * p_c[..., 0] / zs + K.cx
+    v = K.fy * p_c[..., 1] / zs + K.cy
+    vis = z_ok & (z < max_depth) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+    score = jnp.where(vis, -z, -jnp.inf)
+    _, idx = jax.lax.top_k(score, max_points)
+    return p_c[idx], vis[idx]
+
+
+# Capture-free jitted renderer: every tensor (landmarks, intrinsics fields,
+# pose) is an argument — jit-captured device constants degrade the whole
+# process on this TPU backend (see utils/jit.py).
+from fitslam_tpu.utils.jit import vjit as _vjit
+
+
+@_vjit(static_argnames=("width", "height", "splat_sigma", "max_depth"))
+def _render_dense_args(landmarks, fx, fy, cx, cy, baseline, R, t,
+                       width, height, splat_sigma, max_depth):
+    K = Intrinsics(fx, fy, cx, cy, baseline)
+    return render_dense(K, World(landmarks), lie.SE3(R, t), width=width,
+                        height=height, splat_sigma=splat_sigma,
+                        max_depth=max_depth)
+
+
+def render_stereo(K: Intrinsics, world: World, T_wc: lie.SE3,
+                  width: int = 640, height: int = 480,
+                  splat_sigma: float = 1.2, max_depth: float = 18.0):
+    """Jitted stereo rendering with no captured device arrays."""
+    return _render_dense_args(world.landmarks, K.fx, K.fy, K.cx, K.cy,
+                              K.baseline, T_wc.R, T_wc.t,
+                              width, height, splat_sigma, max_depth)

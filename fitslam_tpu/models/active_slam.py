@@ -1,0 +1,173 @@
+"""Full active-SLAM system: SLAM + traversability + FI-gated exploration.
+
+The top-level composition corresponding to the reference's `active_slam`
+launch mode (SURVEY.md §3.1): the stereo SLAM engine produces poses,
+keyframes, and landmarks; per-keyframe point clouds fuse into a
+traversability grid whose threshold feeds both navigation and frontier
+search; the exploration server picks goals and the Fisher-information oracle
+gates motion on localization safety — all in one process, with the same
+functional seams the reference has across DDS.
+
+Sensing in simulation uses the reference's own test-fixture pattern
+(SURVEY.md §4.3): rendered stereo images for the visual frontend and a
+ground-truth frustum cloud per keyframe for traversability
+(slam_keyframe_pcl_simulator equivalent).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fitslam_tpu.models import sim_robot as simr
+from fitslam_tpu.models.exploration import ExplorationServer
+from fitslam_tpu.models.sim_nav import SimNavInterface
+from fitslam_tpu.models.slam import StereoSlam
+from fitslam_tpu.ops import fisher, lie
+from fitslam_tpu.ops import grid as gridops
+from fitslam_tpu.ops.grid import GridSpec2D
+from fitslam_tpu.utils.config import FitSlamConfig
+from fitslam_tpu.utils.profiling import EventLogger, MODULE
+
+
+def camera_pose_from_robot(x: float, y: float, yaw: float, height: float = 0.8) -> lie.SE3:
+    """World-from-camera pose: camera at robot position, +z forward along
+    yaw, y-down optical convention."""
+    fwd = jnp.array([math.cos(yaw), math.sin(yaw), 0.0])
+    down = jnp.array([0.0, 0.0, -1.0])
+    right = jnp.cross(down, fwd)
+    R_wc = jnp.stack([right, down, fwd], axis=-1)
+    t = jnp.array([x, y, height])
+    return lie.SE3(R_wc, t)
+
+
+class ActiveSlamSystem:
+    """Owns the SLAM engine, the traversability fusion, and the exploration
+    server; exposes per-step hooks for a simulation or data driver."""
+
+    def __init__(
+        self,
+        cfg: FitSlamConfig,
+        spec: GridSpec2D,
+        nav,                      # NavInterface
+        get_robot_pose,           # () -> (xy, yaw)
+        event_logger: Optional[EventLogger] = None,
+    ):
+        self.cfg = cfg
+        self.spec = spec
+        self.log = event_logger or EventLogger(time_tier=MODULE)
+        self.slam = StereoSlam(cfg, event_logger=self.log)
+        tcfg = cfg.traversability
+        self.clouds = gridops.empty_cloud_buffer(tcfg.max_clouds, tcfg.max_points_per_cloud)
+        self._occ = jnp.full((spec.size, spec.size), gridops.UNKNOWN, jnp.uint8)
+        self._grid_dirty = True
+        self.slam.keyframe_events.append(self._on_keyframe)
+        self._pending_cloud: Optional[Tuple[jax.Array, jax.Array]] = None
+
+        # SLAM's frame is anchored at the first camera; the simulation (or an
+        # external localization consumer) works in a world frame. T_anchor is
+        # the first camera's world pose, set on the first frame.
+        self.T_anchor: Optional[lie.SE3] = None
+
+        self.explorer = ExplorationServer(
+            cfg, spec,
+            get_occupancy=self.occupancy,
+            nav=nav,
+            get_robot_pose=get_robot_pose,
+            fi_oracle=self.fisher_information_of_pose,
+            get_kf_poses=self.kf_poses_world,
+            event_logger=self.log,
+        )
+
+    # ------------------------------------------------------------------
+    # Frame anchoring
+    # ------------------------------------------------------------------
+
+    def set_world_anchor(self, T_wc_first: lie.SE3):
+        """Register the first camera's world pose (sim/GT or external init)."""
+        self.T_anchor = T_wc_first
+
+    def kf_poses_world(self):
+        """Keyframe camera-from-world poses expressed in the world frame."""
+        m = self.slam.map
+        if self.T_anchor is None:
+            return m.kf_T_cw, m.n_kf
+        T_cw_world = lie.compose(m.kf_T_cw, lie.inverse(self.T_anchor))
+        return T_cw_world, m.n_kf
+
+    def estimated_robot_pose(self) -> Tuple[np.ndarray, float]:
+        """SLAM-estimated robot pose in the world frame (xy, yaw)."""
+        T = self.slam.current_pose_wc  # slam frame
+        if self.T_anchor is not None:
+            T = lie.compose(self.T_anchor, T)
+        fwd = np.asarray(T.R[:, 2])     # camera +z (forward)
+        yaw = math.atan2(float(fwd[1]), float(fwd[0]))
+        t = np.asarray(T.t)
+        return t[:2], yaw
+
+    # ------------------------------------------------------------------
+    # SLAM + mapping
+    # ------------------------------------------------------------------
+
+    def process_frame(self, img_left, img_right,
+                      cloud_c: Optional[jax.Array] = None,
+                      cloud_valid: Optional[jax.Array] = None) -> Dict:
+        """Track one stereo frame; `cloud_c` is the camera-frame point cloud
+        to associate with a keyframe if one is created this frame."""
+        if cloud_c is not None:
+            self._pending_cloud = (cloud_c, cloud_valid)
+        info = self.slam.process_frame(img_left, img_right)
+        if info.get("loop"):
+            # loop closure moved keyframes: re-stitch grid + roadmap
+            self._grid_dirty = True
+        return info
+
+    def _on_keyframe(self, slam: StereoSlam, kf_idx: int):
+        if self._pending_cloud is None:
+            return
+        cloud_c, valid = self._pending_cloud
+        self._pending_cloud = None
+        self.clouds = gridops.add_cloud(self.clouds, cloud_c, valid, jnp.int32(kf_idx))
+        self._grid_dirty = True
+
+    def occupancy(self) -> jax.Array:
+        """Thresholded traversability grid (the /traversability_thresholded
+        topic equivalent), lazily re-fused after keyframe/pose updates."""
+        if self._grid_dirty:
+            with self.log.scope("traversability.fuse", MODULE):
+                tcfg = self.cfg.traversability
+                grid = gridops.fuse_clouds(
+                    self.spec, self.clouds, self.slam.map.kf_T_cw,
+                    max_slope=tcfg.max_slope,
+                    ground_clearance=tcfg.ground_clearance,
+                    robot_height=tcfg.robot_height,
+                    security_distance=tcfg.security_distance,
+                )
+                self._occ = gridops.threshold_grid(grid, tcfg.lethal_threshold)
+            self._grid_dirty = False
+        return self._occ
+
+    # ------------------------------------------------------------------
+    # Fisher-information oracle (the reference's isPoseSafe, §3.3)
+    # ------------------------------------------------------------------
+
+    def fisher_information_of_pose(self, robot_xy, robot_yaw,
+                                   exhaustive: bool = False) -> float:
+        fcfg = self.cfg.fisher_information
+        T_wc = camera_pose_from_robot(robot_xy[0], robot_xy[1], robot_yaw)
+        max_d = fcfg.max_landmark_distance * (2.0 if exhaustive else 1.0)
+        p_c, ok = self.slam.get_landmarks_in_view(T_wc, max_distance=max_d)
+        info = fisher.pose_information(
+            p_c, ok,
+            noise_var=fcfg.measurement_noise,
+            max_distance=max_d,
+            saturation_exponent=fcfg.saturation_exponent,
+        )
+        return float(info)
+
+    def tick_exploration(self):
+        return self.explorer.tick()

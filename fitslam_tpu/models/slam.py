@@ -56,9 +56,11 @@ class StereoSlam:
     # ------------------------------------------------------------------
 
     def process_frame(self, img_left, img_right) -> Dict:
-        """Track one stereo frame; returns per-frame diagnostics."""
+        """Track one stereo frame: the image frontend runs as its own
+        executable, then the fused backend step (models/slam_step.py) keeps
+        the map state inside one executable across frames."""
         cfg = self.cfg
-        with self.log.scope("frontend.orb", MODULE):
+        with self.log.scope("frontend", MODULE):
             frame = tr.process_stereo(
                 self.K, img_left, img_right,
                 num_features=cfg.orb.num_features,
@@ -66,81 +68,55 @@ class StereoSlam:
                 scale_factor=cfg.orb.scale_factor,
                 fast_threshold=cfg.orb.fast_threshold,
             )
-            jax.block_until_ready(frame.depth)
         return self.process_prepared(frame)
 
     def process_prepared(self, frame: tr.StereoFrame) -> Dict:
-        """Track an already-extracted frame (used by tests and replays)."""
+        """Backend step on an already-extracted frame."""
+        from fitslam_tpu.models.slam_step import slam_backend_step
+
         cfg = self.cfg
-        info: Dict = {"frame_id": self.frame_id, "keyframe": False, "lost": False}
-        self.last_frame = frame
-
-        if not self._initialized:
-            self._insert_kf(frame, lm_match=-jnp.ones(frame.feats.capacity, jnp.int32))
-            self.state = tr.mark_keyframe(self.state, jnp.int32(0))
-            self._initialized = True
-            info["keyframe"] = True
-            info["n_inliers"] = 0
-        else:
-            with self.log.scope("tracking", MODULE):
-                self.state, lm_match, n_inl = tr.track_frame(
-                    self.K, self.map, self.state, frame,
-                    search_radius=cfg.tracking.search_radius_px,
-                    match_max_hamming=cfg.tracking.match_max_hamming,
-                    min_inliers=cfg.tracking.min_inliers,
-                    width=cfg.camera.width, height=cfg.camera.height,
-                    pose_iters=cfg.tracking.pose_gn_iters,
-                )
-                n_inl_host = int(n_inl)
-            info["n_inliers"] = n_inl_host
-            info["lost"] = n_inl_host < cfg.tracking.min_inliers
-
-            need = tr.need_keyframe(
-                self.state, n_inl,
-                cfg.tracking.keyframe_min_interval,
-                cfg.tracking.keyframe_translation,
-                cfg.tracking.keyframe_rotation,
-                cfg.tracking.keyframe_min_tracked_ratio,
+        with self.log.scope("backend_step", MODULE):
+            self.map, self.state, outs = slam_backend_step(
+                self.K, self.map, self.state, frame, jnp.int32(self.frame_id),
+                search_radius=cfg.tracking.search_radius_px,
+                match_max_hamming=cfg.tracking.match_max_hamming,
+                min_inliers=cfg.tracking.min_inliers,
+                width=cfg.camera.width, height=cfg.camera.height,
+                pose_iters=cfg.tracking.pose_gn_iters,
+                kf_min_interval=cfg.tracking.keyframe_min_interval,
+                kf_translation=cfg.tracking.keyframe_translation,
+                kf_rotation=cfg.tracking.keyframe_rotation,
+                kf_min_tracked_ratio=cfg.tracking.keyframe_min_tracked_ratio,
+                scale_factor=cfg.orb.scale_factor,
+                ba_window=cfg.mapping.local_window,
+                ba_max_obs=min(8192, cfg.mapping.max_observations),
+                ba_iters=cfg.mapping.ba_iters,
+                cull_min_obs=cfg.mapping.cull_min_observations,
             )
-            if bool(need) and int(self.map.n_kf) < cfg.mapping.max_keyframes:
-                self._insert_kf(frame, lm_match)
-                self.state = tr.mark_keyframe(self.state, n_inl)
-                info["keyframe"] = True
-                with self.log.scope("local_ba", MODULE):
-                    self.map = sm.local_ba(
-                        self.map, self.K,
-                        window=cfg.mapping.local_window,
-                        max_obs_local=min(8192, cfg.mapping.max_observations),
-                        iters=cfg.mapping.ba_iters,
-                    )
-                    jax.block_until_ready(self.map.lm_pos)
-                self.map = sm.cull_landmarks(self.map, cfg.mapping.cull_min_observations)
-                # sync tracker pose to the BA-refined keyframe pose
-                kf_idx = int(self.map.n_kf) - 1
-                T = lie.SE3(self.map.kf_T_cw.R[kf_idx], self.map.kf_T_cw.t[kf_idx])
-                self.state = self.state._replace(T_cw=T, T_cw_last_kf=T)
-                if self.loop_closer is not None:
-                    with self.log.scope("loop_closing", MODULE):
-                        loop_info = self.loop_closer.on_keyframe(self, kf_idx)
-                    if loop_info:
-                        info["loop"] = loop_info
-                        self.loop_events.append(loop_info)
+            n_inl = int(outs.n_inliers)
+            was_kf = bool(outs.was_keyframe)
 
-        T_wc = lie.inverse(self.state.T_cw)
-        self.trajectory.append(np.asarray(T_wc.matrix()))
+        info: Dict = {
+            "frame_id": self.frame_id,
+            "keyframe": was_kf,
+            "n_inliers": n_inl,
+            "lost": self._initialized and n_inl < cfg.tracking.min_inliers,
+        }
+        self.last_frame = frame
+        if was_kf:
+            self._initialized = True
+            kf_idx = int(outs.kf_idx)
+            for cb in self.keyframe_events:
+                cb(self, kf_idx)
+            if self.loop_closer is not None:
+                with self.log.scope("loop_closing", MODULE):
+                    loop_info = self.loop_closer.on_keyframe(self, kf_idx)
+                if loop_info:
+                    info["loop"] = loop_info
+                    self.loop_events.append(loop_info)
+        self.trajectory.append(np.asarray(outs.pose_wc))
         self.frame_id += 1
         return info
-
-    def _insert_kf(self, frame: tr.StereoFrame, lm_match):
-        with self.log.scope("keyframe_insert", MODULE):
-            sig = signature_from_descriptors(frame.feats.desc, frame.feats.valid)
-            self.map = sm.insert_keyframe(
-                self.map, self.K, self.state.T_cw, frame.feats, frame.depth,
-                lm_match, jnp.int32(self.frame_id), sig,
-                scale_factor=self.cfg.orb.scale_factor,
-            )
-        for cb in self.keyframe_events:
-            cb(self, int(self.map.n_kf) - 1)
 
     # ------------------------------------------------------------------
     # Service surface (reference: slam_msgs services, SURVEY.md §1 L2→up)

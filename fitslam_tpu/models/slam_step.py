@@ -1,0 +1,121 @@
+"""The fused SLAM backend step: tracking + conditional keyframe pipeline.
+
+Architecture note (measured on this TPU environment, see utils/jit.py for
+the sibling constraint):
+- Buffers that feed back into the SAME executable are free; buffers crossing
+  executables pay an import cost — so the heavy map state must live inside
+  ONE executable across frames. This step is that executable: landmark
+  association, motion-only pose solve, keyframe decision, and (under
+  `lax.cond`) keyframe insertion + windowed local BA + landmark culling.
+- Fusing the image frontend INTO this module tips the backend compiler into
+  a systematically bad regime (50-100 ms binaries vs 0.1 ms for the split
+  modules, reproducible across recompiles), so `process_stereo` stays its
+  own executable; its ~1 MB frame output imports cheaply.
+- No jitted function may capture a concrete device array (constants embedded
+  that way degrade every subsequent dispatch in the process ~300x).
+
+The reference's analog of this split is its tracking vs local-mapping
+threads over shared memory (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fitslam_tpu.utils.jit import vjit
+from fitslam_tpu.models import slam_map as sm
+from fitslam_tpu.models import tracking as tr
+from fitslam_tpu.ops import lie
+from fitslam_tpu.ops.geometry import Intrinsics
+from fitslam_tpu.ops.place import signature_from_descriptors
+
+
+class StepOutputs(NamedTuple):
+    n_inliers: jax.Array      # () int32
+    was_keyframe: jax.Array   # () bool
+    kf_idx: jax.Array         # () int32 (-1 unless was_keyframe)
+    pose_wc: jax.Array        # (4, 4) world-from-camera
+
+
+def _backend_body(
+    K: Intrinsics,
+    m: sm.SlamMap,
+    state: tr.TrackState,
+    frame: tr.StereoFrame,
+    frame_id,
+    *,
+    search_radius, match_max_hamming, min_inliers, width, height, pose_iters,
+    kf_min_interval, kf_translation, kf_rotation, kf_min_tracked_ratio,
+    scale_factor, ba_window, ba_max_obs, ba_iters, cull_min_obs,
+) -> Tuple[sm.SlamMap, tr.TrackState, StepOutputs]:
+    num_features = frame.feats.capacity
+
+    def tracked_path(args):
+        m, state = args
+        state2, lm_match, n_inl = tr.track_frame(
+            K, m, state, frame,
+            search_radius=search_radius, match_max_hamming=match_max_hamming,
+            min_inliers=min_inliers, width=width, height=height,
+            pose_iters=pose_iters,
+        )
+        need = tr.need_keyframe(
+            state2, n_inl, kf_min_interval, kf_translation, kf_rotation,
+            kf_min_tracked_ratio,
+        )
+        return state2, lm_match, n_inl, need
+
+    def init_path(args):
+        m, state = args
+        lm_match = -jnp.ones((num_features,), jnp.int32)
+        return state, lm_match, jnp.int32(0), jnp.bool_(True)
+
+    state2, lm_match, n_inl, need = jax.lax.cond(
+        state.initialized, tracked_path, init_path, (m, state)
+    )
+
+    K_cap = m.kf_valid.shape[0]
+    can_insert = need & (m.n_kf < K_cap)
+
+    def do_insert(args):
+        m, state2 = args
+        sig = signature_from_descriptors(frame.feats.desc, frame.feats.valid)
+        m2 = sm.insert_keyframe(
+            m, K, state2.T_cw, frame.feats, frame.depth, lm_match,
+            frame_id, sig, scale_factor=scale_factor,
+        )
+        m3 = sm.local_ba(m2, K, window=ba_window, max_obs_local=ba_max_obs,
+                         iters=ba_iters)
+        m4 = sm.cull_landmarks(m3, min_obs=cull_min_obs)
+        kf_idx = m2.n_kf - 1
+        state3 = tr.rebase_to_kf(state2, m4.kf_T_cw.R, m4.kf_T_cw.t, kf_idx)
+        state3 = tr.mark_keyframe(state3, n_inl)
+        return m4, state3, kf_idx
+
+    def no_insert(args):
+        m, state2 = args
+        return m, state2, jnp.int32(-1)
+
+    m_out, state_out, kf_idx = jax.lax.cond(
+        can_insert, do_insert, no_insert, (m, state2)
+    )
+    outs = StepOutputs(
+        n_inliers=n_inl,
+        was_keyframe=can_insert,
+        kf_idx=kf_idx,
+        pose_wc=lie.inverse(state_out.T_cw).matrix(),
+    )
+    return m_out, state_out, outs
+
+
+slam_backend_step = vjit(
+    _backend_body,
+    static_argnames=(
+        "search_radius", "match_max_hamming", "min_inliers", "width",
+        "height", "pose_iters", "kf_min_interval", "kf_translation",
+        "kf_rotation", "kf_min_tracked_ratio", "scale_factor",
+        "ba_window", "ba_max_obs", "ba_iters", "cull_min_obs",
+    ),
+)

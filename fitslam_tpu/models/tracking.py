@@ -145,6 +145,8 @@ def track_frame(
     return new_state, lm_match, n_inl
 
 
+@vjit(static_argnames=("min_interval", "translation_thresh", "rotation_thresh",
+                       "min_tracked_ratio"))
 def need_keyframe(
     state: TrackState,
     n_inliers: jax.Array,
@@ -153,7 +155,10 @@ def need_keyframe(
     rotation_thresh: float,
     min_tracked_ratio: float,
 ) -> jax.Array:
-    """Keyframe decision (scalar bool on device; host pulls it)."""
+    """Keyframe decision (scalar bool on device; host pulls it).
+
+    jitted: eager op-by-op execution costs ~8 ms/op through the axon relay
+    — this 15-op helper measured 240 ms/frame eager vs 0.1 ms jitted."""
     d = lie.se3_log(lie.compose(state.T_cw, lie.inverse(state.T_cw_last_kf)))
     trans = jnp.linalg.norm(d[:3])
     rot = jnp.linalg.norm(d[3:])
@@ -164,6 +169,7 @@ def need_keyframe(
     return (state.frames_since_kf >= min_interval) & (moved | weak)
 
 
+@vjit
 def mark_keyframe(state: TrackState, n_inliers: jax.Array) -> TrackState:
     return state._replace(
         T_cw_last_kf=state.T_cw,
@@ -171,3 +177,17 @@ def mark_keyframe(state: TrackState, n_inliers: jax.Array) -> TrackState:
         kf_ref_inliers=n_inliers.astype(jnp.int32),
         initialized=jnp.bool_(True),
     )
+
+
+@vjit
+def pose_matrix_wc(state: TrackState) -> jax.Array:
+    """Current world-from-camera 4x4 (trajectory logging, one fused kernel)."""
+    return lie.inverse(state.T_cw).matrix()
+
+
+@vjit
+def rebase_to_kf(state: TrackState, kf_R: jax.Array, kf_t: jax.Array,
+                 kf_idx: jax.Array) -> TrackState:
+    """Sync the tracker to a (BA-refined) keyframe pose."""
+    T = lie.SE3(kf_R[kf_idx], kf_t[kf_idx])
+    return state._replace(T_cw=T, T_cw_last_kf=T)

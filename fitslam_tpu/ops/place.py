@@ -15,7 +15,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fitslam_tpu.utils.jit import vjit
 
+
+@vjit
 def signature_from_descriptors(desc: jax.Array, valid: jax.Array) -> jax.Array:
     """(N, 256) ±1 + (N,) mask -> (256,) L2-normalized float signature."""
     w = valid.astype(jnp.float32)[:, None]

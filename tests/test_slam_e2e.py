@@ -53,13 +53,10 @@ def corridor_run():
     T_gt = synthetic.straight_trajectory(n_frames, length=4.0, height=1.2, start_x=0.5)
 
     slam = StereoSlam(cfg)
-    render = jax.jit(
-        lambda R, t: synthetic.render_dense(
-            K, world, lie.SE3(R, t), width=W, height=H, splat_sigma=1.2, max_depth=18.0
-        )
-    )
     for i in range(n_frames):
-        left, right = render(T_gt.R[i], T_gt.t[i])
+        left, right = synthetic.render_stereo(
+            K, world, lie.SE3(T_gt.R[i], T_gt.t[i]), width=W, height=H, max_depth=18.0
+        )
         info = slam.process_frame(left, right)
     gt = [np.asarray(lie.SE3(T_gt.R[i], T_gt.t[i]).matrix()) for i in range(n_frames)]
     return slam, gt
