@@ -44,6 +44,7 @@ class StereoSlam:
         self.log = event_logger or EventLogger(time_tier=MODULE)
         self._initialized = False
         self.last_frame: Optional[tr.StereoFrame] = None
+        self.outs_log: List = []   # device-side per-frame outputs (async mode)
         self.loop_closer = None
         self.loop_events: List[Dict] = []
         if cfg.loop.enabled:
@@ -69,6 +70,58 @@ class StereoSlam:
                 fast_threshold=cfg.orb.fast_threshold,
             )
         return self.process_prepared(frame)
+
+    def process_frame_async(self, img_left, img_right):
+        """Zero-readback frame step: no device->host transfer happens (the
+        first D2H permanently degrades every later dispatch ~300x on this
+        backend). Per-frame outputs stay on device in `self.outs_log`;
+        call `finalize()` after the run to materialize trajectory/stats.
+        Loop closing is skipped in this mode (it needs host decisions)."""
+        from fitslam_tpu.models.slam_step import slam_backend_step
+
+        cfg = self.cfg
+        frame = tr.process_stereo(
+            self.K, img_left, img_right,
+            num_features=cfg.orb.num_features,
+            num_levels=cfg.orb.num_levels,
+            scale_factor=cfg.orb.scale_factor,
+            fast_threshold=cfg.orb.fast_threshold,
+        )
+        self.map, self.state, outs = slam_backend_step(
+            self.K, self.map, self.state, frame, jnp.int32(self.frame_id),
+            search_radius=cfg.tracking.search_radius_px,
+            match_max_hamming=cfg.tracking.match_max_hamming,
+            min_inliers=cfg.tracking.min_inliers,
+            width=cfg.camera.width, height=cfg.camera.height,
+            pose_iters=cfg.tracking.pose_gn_iters,
+            kf_min_interval=cfg.tracking.keyframe_min_interval,
+            kf_translation=cfg.tracking.keyframe_translation,
+            kf_rotation=cfg.tracking.keyframe_rotation,
+            kf_min_tracked_ratio=cfg.tracking.keyframe_min_tracked_ratio,
+            scale_factor=cfg.orb.scale_factor,
+            ba_window=cfg.mapping.local_window,
+            ba_max_obs=min(8192, cfg.mapping.max_observations),
+            ba_iters=cfg.mapping.ba_iters,
+            cull_min_obs=cfg.mapping.cull_min_observations,
+        )
+        self.outs_log.append(outs)
+        self._initialized = True
+        self.frame_id += 1
+        return outs
+
+    def finalize(self):
+        """Materialize per-frame outputs accumulated by process_frame_async.
+        The single place a device->host transfer happens."""
+        import numpy as _np
+
+        for outs in self.outs_log:
+            self.trajectory.append(_np.asarray(outs.pose_wc))
+        stats = {
+            "n_inliers": [int(o.n_inliers) for o in self.outs_log],
+            "keyframes": [int(o.kf_idx) for o in self.outs_log if bool(o.was_keyframe)],
+        }
+        self.outs_log = []
+        return stats
 
     def process_prepared(self, frame: tr.StereoFrame) -> Dict:
         """Backend step on an already-extracted frame."""

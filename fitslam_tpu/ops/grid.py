@@ -107,7 +107,8 @@ class TraversabilityGrid(NamedTuple):
     cost: jax.Array        # (G, G) uint8 0..255 (255 = unknown)
 
 
-@vjit(static_argnames=("spec",))
+@vjit(static_argnames=("spec", "max_slope", "ground_clearance", "robot_height",
+                       "security_distance", "lethal_threshold"))
 def fuse_clouds(
     spec: GridSpec2D,
     buf: CloudBuffer,
