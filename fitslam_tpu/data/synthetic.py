@@ -147,8 +147,13 @@ def render_dense(
         uvr, z_ok = project_stereo(K, p_c)
         vis = z_ok & (p_c[..., 2] < max_depth)
         u, v = uvr[..., 0], uvr[..., 1]
-        lum = 60.0 + 195.0 * _hash01(jnp.arange(world.landmarks.shape[0]))
-        img = _splat(u, v, jnp.where(vis, lum, 0.0), height, width, splat_sigma)
+        idx = jnp.arange(world.landmarks.shape[0])
+        lum = 60.0 + 195.0 * _hash01(idx)
+        # per-landmark blob width: BRIEF-style descriptors compare pixel
+        # pairs, so a radially symmetric blob of fixed size is amplitude-
+        # blind — size variation is what makes points distinguishable
+        sig = splat_sigma * (0.6 + 1.4 * _hash01(idx + 77777))
+        img = _splat(u, v, jnp.where(vis, lum, 0.0), height, width, sig)
         return img
 
     left = render_one(T_wc)
@@ -165,17 +170,21 @@ def _hash01(i: jax.Array) -> jax.Array:
 
 
 def _splat(u, v, lum, height, width, sigma):
-    """Scatter-add Gaussian blobs: rasterize a small stamp per landmark."""
+    """Scatter-add Gaussian blobs: rasterize a small stamp per landmark.
+    `sigma` may be a scalar or a per-landmark (L,) array."""
     R = 3
     iu = jnp.round(u).astype(jnp.int32)
     iv = jnp.round(v).astype(jnp.int32)
     img = jnp.zeros((height, width), jnp.float32)
     offs = jnp.arange(-R, R + 1)
     dy, dx = jnp.meshgrid(offs, offs, indexing="ij")
-    w = jnp.exp(-(dx**2 + dy**2) / (2 * sigma * sigma))  # (7, 7)
+    sig = jnp.asarray(sigma)
+    sig = sig[:, None, None] if sig.ndim == 1 else sig
+    w = jnp.exp(-(dx**2 + dy**2) / (2 * sig * sig))  # (7, 7) or (L, 7, 7)
+    w = jnp.broadcast_to(w, (u.shape[0], 2 * R + 1, 2 * R + 1))
     rows = iv[:, None, None] + dy[None]
     cols = iu[:, None, None] + dx[None]
-    vals = lum[:, None, None] * w[None]
+    vals = lum[:, None, None] * w
     inb = (rows >= 0) & (rows < height) & (cols >= 0) & (cols < width)
     flat = jnp.where(inb, rows * width + cols, height * width)
     img = jnp.zeros((height * width + 1,), jnp.float32).at[flat.reshape(-1)].add(

@@ -140,8 +140,12 @@ class ActiveSlamSystem:
         if self._grid_dirty:
             with self.log.scope("traversability.fuse", MODULE):
                 tcfg = self.cfg.traversability
+                # keyframe poses must be world-anchored: the grid's z axis is
+                # world-up, while the raw SLAM frame is the first camera's
+                # optical frame (y down, z forward)
+                kf_T_cw_world, _ = self.kf_poses_world()
                 grid = gridops.fuse_clouds(
-                    self.spec, self.clouds, self.slam.map.kf_T_cw,
+                    self.spec, self.clouds, kf_T_cw_world,
                     max_slope=tcfg.max_slope,
                     ground_clearance=tcfg.ground_clearance,
                     robot_height=tcfg.robot_height,
@@ -159,6 +163,10 @@ class ActiveSlamSystem:
                                    exhaustive: bool = False) -> float:
         fcfg = self.cfg.fisher_information
         T_wc = camera_pose_from_robot(robot_xy[0], robot_xy[1], robot_yaw)
+        if self.T_anchor is not None:
+            # landmark map lives in the SLAM (first-camera) frame: convert
+            # the world-frame query pose before frustum culling
+            T_wc = lie.compose(lie.inverse(self.T_anchor), T_wc)
         max_d = fcfg.max_landmark_distance * (2.0 if exhaustive else 1.0)
         p_c, ok = self.slam.get_landmarks_in_view(T_wc, max_distance=max_d)
         info = fisher.pose_information(

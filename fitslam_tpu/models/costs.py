@@ -63,6 +63,7 @@ def assign_costs(
     w_max: float = 0.5,
     factor_of_max_info: float = 0.7,
     raycast_depth_m: float = 2.0,
+    grid_pot: jax.Array | None = None,  # (G, G) wavefront potential from robot
 ) -> FrontierCosts:
     """Full cost pipeline for all frontiers at once."""
     F = fr.valid.shape[0]
@@ -77,6 +78,13 @@ def assign_costs(
     node = jnp.argmin(d_nodes, axis=1).astype(jnp.int32)
     snap_d = jnp.min(d_nodes, axis=1)
     path_len = robot_dist[node] + snap_d
+    if grid_pot is not None:
+        # NavFn-equivalent fallback (reference cost mode selector, E5/E7):
+        # a wavefront potential from the robot prices every frontier even
+        # before the roadmap has connectable edges
+        c, okc = spec.world_to_cell(fr.goal_xy)
+        gd = jnp.where(okc, grid_pot[c[..., 1], c[..., 0]], INF)
+        path_len = jnp.minimum(path_len, gd)
     reachable = fr.valid & (path_len < INF / 2)
 
     # achievability: not in lethal, info above the floor

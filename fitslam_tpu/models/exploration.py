@@ -155,6 +155,14 @@ class ExplorationServer:
         if self.state == ExplorationState.RECOVERING:
             return self._tick_recovery(occ, robot_xy, robot_yaw)
 
+        # an aborted goal must be consumed even when later stages produce no
+        # plan this tick, or the server deadlocks on a dead goal
+        if self.nav.status() == GoalStatus.ABORTED:
+            if self._goal_xy is not None:
+                self._on_goal_failure(self._goal_xy)
+            else:
+                self.nav.cancel()
+
         # -- roadmap upkeep --
         with self.log.scope("roadmap.update", MODULE):
             self._update_roadmap(occ, robot_xy)
@@ -181,6 +189,11 @@ class ExplorationServer:
         with self.log.scope("frontier_costs", MODULE):
             robot_dist, parent, src = rmx.shortest_paths(self.roadmap, jnp.asarray(robot_xy, jnp.float32))
             blacklisted = self._blacklist_mask(fr)
+            pot = navx.wavefront_potential(
+                self.spec, occ, jnp.asarray(robot_xy, jnp.float32),
+                iters=self.cfg.nav.wavefront_iters,
+                allow_unknown=True,
+            )
             costs = cx.assign_costs(
                 self.spec, occ, fr, self.roadmap.xy, self.roadmap.valid,
                 robot_dist, blacklisted,
@@ -188,6 +201,7 @@ class ExplorationServer:
                 beta=self.cfg.cost_assigner.beta,
                 v_max=self.cfg.cost_assigner.max_linear_velocity,
                 w_max=self.cfg.cost_assigner.max_angular_velocity,
+                grid_pot=pot,
             )
 
         # -- full path optimization (TSP) --

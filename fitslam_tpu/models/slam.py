@@ -103,6 +103,9 @@ class StereoSlam:
             ba_max_obs=min(8192, cfg.mapping.max_observations),
             ba_iters=cfg.mapping.ba_iters,
             cull_min_obs=cfg.mapping.cull_min_observations,
+            wide_radius=cfg.tracking.wide_radius_px,
+            reinit_after_lost=cfg.tracking.reinit_after_lost,
+            match_ratio=cfg.tracking.match_ratio,
         )
         self.outs_log.append(outs)
         self._initialized = True
@@ -145,6 +148,9 @@ class StereoSlam:
                 ba_max_obs=min(8192, cfg.mapping.max_observations),
                 ba_iters=cfg.mapping.ba_iters,
                 cull_min_obs=cfg.mapping.cull_min_observations,
+                wide_radius=cfg.tracking.wide_radius_px,
+                reinit_after_lost=cfg.tracking.reinit_after_lost,
+                match_ratio=cfg.tracking.match_ratio,
             )
             n_inl = int(outs.n_inliers)
             was_kf = bool(outs.was_keyframe)

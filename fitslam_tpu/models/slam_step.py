@@ -50,6 +50,7 @@ def _backend_body(
     search_radius, match_max_hamming, min_inliers, width, height, pose_iters,
     kf_min_interval, kf_translation, kf_rotation, kf_min_tracked_ratio,
     scale_factor, ba_window, ba_max_obs, ba_iters, cull_min_obs,
+    wide_radius=96.0, reinit_after_lost=6, match_ratio=0.8,
 ) -> Tuple[sm.SlamMap, tr.TrackState, StepOutputs]:
     num_features = frame.feats.capacity
 
@@ -57,7 +58,8 @@ def _backend_body(
         m, state = args
         state2, lm_match, n_inl = tr.track_frame(
             K, m, state, frame,
-            search_radius=search_radius, match_max_hamming=match_max_hamming,
+            search_radius=search_radius, wide_radius=wide_radius,
+            match_max_hamming=match_max_hamming, match_ratio=match_ratio,
             min_inliers=min_inliers, width=width, height=height,
             pose_iters=pose_iters,
         )
@@ -77,7 +79,12 @@ def _backend_body(
     )
 
     K_cap = m.kf_valid.shape[0]
-    can_insert = need & (m.n_kf < K_cap)
+    # never mint a keyframe from a lost tracker (its pose is a motion-model
+    # guess and would corrupt the map) — unless loss has persisted long
+    # enough that a re-initialization keyframe is the only way back
+    healthy = (n_inl >= min_inliers) | jnp.logical_not(state.initialized)
+    reinit = state2.lost_frames >= reinit_after_lost
+    can_insert = need & (m.n_kf < K_cap) & (healthy | reinit)
 
     def do_insert(args):
         m, state2 = args
@@ -117,5 +124,6 @@ slam_backend_step = vjit(
         "height", "pose_iters", "kf_min_interval", "kf_translation",
         "kf_rotation", "kf_min_tracked_ratio", "scale_factor",
         "ba_window", "ba_max_obs", "ba_iters", "cull_min_obs",
+        "wide_radius", "reinit_after_lost", "match_ratio",
     ),
 )

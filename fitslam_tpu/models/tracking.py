@@ -36,6 +36,7 @@ class TrackState(NamedTuple):
     frames_since_kf: jax.Array   # () int32
     kf_ref_inliers: jax.Array    # () int32 — inliers when last KF was made
     initialized: jax.Array       # () bool
+    lost_frames: jax.Array       # () int32 consecutive frames below min_inliers
 
 
 def init_track_state() -> TrackState:
@@ -46,6 +47,7 @@ def init_track_state() -> TrackState:
         frames_since_kf=jnp.int32(0),
         kf_ref_inliers=jnp.int32(0),
         initialized=jnp.bool_(False),
+        lost_frames=jnp.int32(0),
     )
 
 
@@ -77,8 +79,9 @@ def track_frame(
     state: TrackState,
     frame: StereoFrame,
     search_radius: float = 24.0,
-    wide_radius: float = 72.0,
+    wide_radius: float = 96.0,
     match_max_hamming: int = 64,
+    match_ratio: float = 0.8,
     min_inliers: int = 15,
     width: int = 640,
     height: int = 480,
@@ -95,36 +98,64 @@ def track_frame(
     feats = frame.feats
     T_pred = lie.compose(lie.se3_exp(state.velocity), state.T_cw)
 
-    # landmark visibility at predicted pose
-    T_wc_pred = lie.inverse(T_pred)
-    p_c, vis = landmarks_in_view(m, K, T_wc_pred, jnp.float32(40.0), width, height)
-    z_safe = jnp.where(p_c[..., 2] > 1e-3, p_c[..., 2], 1.0)
-    lm_uv = jnp.stack(
-        [K.fx * p_c[..., 0] / z_safe + K.cx, K.fy * p_c[..., 1] / z_safe + K.cy],
-        axis=-1,
+    # descriptor distances are pose-independent: compute once, share across
+    # all pose hypotheses below
+    dist = matching.hamming_matrix(feats.desc, m.lm_desc, feats.valid, m.lm_valid)
+
+    u_r = jnp.where(
+        frame.depth > 1e-3,
+        feats.xy[:, 0] - K.bf / jnp.maximum(frame.depth, 1e-3),
+        -1.0,
+    )
+    uvr = jnp.concatenate([feats.xy, u_r[:, None]], axis=-1)
+    sigma2 = jnp.ones((feats.xy.shape[0],))
+
+    def project_and_match(T_base, radius):
+        p_c, vis = landmarks_in_view(
+            m, K, lie.inverse(T_base), jnp.float32(40.0), width, height
+        )
+        z_safe = jnp.where(p_c[..., 2] > 1e-3, p_c[..., 2], 1.0)
+        lm_uv = jnp.stack(
+            [K.fx * p_c[..., 0] / z_safe + K.cx, K.fy * p_c[..., 1] / z_safe + K.cy],
+            axis=-1,
+        )
+        lm_uv = jnp.where(vis[:, None], lm_uv, -1e6)
+        return matching.match_windowed(
+            dist, feats.xy, lm_uv, radius, max_distance=match_max_hamming,
+            ratio=match_ratio,
+        )
+
+    def solve(T_base, mt):
+        T_new, inl, chi2 = ba.solve_pose(
+            K, T_base, m.lm_pos[mt.idx_b], uvr, sigma2, mt.valid, iters=pose_iters
+        )
+        return T_new, inl
+
+    # rotation-hypothesis sweep: a camera pan between frames shifts every
+    # feature by ~fx*dyaw px; when that exceeds the association window the
+    # motion-model prediction alone cannot re-latch (and wide windows are
+    # ambiguous under repetitive texture). Try a batch of pan offsets around
+    # the prediction, keep the hypothesis with the most windowed matches —
+    # zero-offset first so it wins ties.
+    spacing = 0.8 * search_radius / K.fx
+    offsets = spacing * jnp.array(
+        [0.0, -1.0, 1.0, -2.0, 2.0, -3.0, 3.0, -4.0, 4.0, -5.0, 5.0]
     )
 
-    dist = matching.hamming_matrix(feats.desc, m.lm_desc, feats.valid, vis)
+    def hyp(off):
+        T_h = lie.compose(lie.se3_exp(jnp.zeros((6,)).at[4].set(off)), T_pred)
+        mt = project_and_match(T_h, search_radius)
+        return T_h, mt, jnp.sum(mt.valid)
 
-    def associate(radius):
-        mt = matching.match_windowed(
-            dist, feats.xy, lm_uv, radius, max_distance=match_max_hamming, ratio=0.9
-        )
-        u_r = jnp.where(
-            frame.depth > 1e-3,
-            feats.xy[:, 0] - K.bf / jnp.maximum(frame.depth, 1e-3),
-            -1.0,
-        )
-        uvr = jnp.concatenate([feats.xy, u_r[:, None]], axis=-1)
-        pts = m.lm_pos[mt.idx_b]
-        sigma2 = jnp.ones((feats.xy.shape[0],))
-        T_new, inl, chi2 = ba.solve_pose(
-            K, T_pred, pts, uvr, sigma2, mt.valid, iters=pose_iters
-        )
-        return mt, T_new, inl
+    T_hs, mts, counts = jax.lax.map(hyp, offsets)
+    best = jnp.argmax(counts)
+    T_best = jax.tree.map(lambda a: a[best], T_hs)
+    mt_n = jax.tree.map(lambda a: a[best], mts)
+    T_n, inl_n = solve(T_best, mt_n)
 
-    mt_n, T_n, inl_n = associate(search_radius)
-    mt_w, T_w, inl_w = associate(wide_radius)
+    # wide-window fallback at the raw prediction (translation-dominant error)
+    mt_w = project_and_match(T_pred, wide_radius)
+    T_w, inl_w = solve(T_pred, mt_w)
     narrow_ok = jnp.sum(inl_n) >= min_inliers
     mt, T_new, inl = jax.tree.map(
         lambda a, b: jnp.where(narrow_ok, a, b), (mt_n, T_n, inl_n), (mt_w, T_w, inl_w)
@@ -141,6 +172,7 @@ def track_frame(
         T_cw=T_out,
         velocity=vel,
         frames_since_kf=state.frames_since_kf + 1,
+        lost_frames=jnp.where(tracked_ok, jnp.int32(0), state.lost_frames + 1),
     )
     return new_state, lm_match, n_inl
 
@@ -176,6 +208,7 @@ def mark_keyframe(state: TrackState, n_inliers: jax.Array) -> TrackState:
         frames_since_kf=jnp.int32(0),
         kf_ref_inliers=n_inliers.astype(jnp.int32),
         initialized=jnp.bool_(True),
+        lost_frames=jnp.int32(0),
     )
 
 

@@ -56,6 +56,8 @@ class TrackingConfig:
     match_max_hamming: int = 64
     match_ratio: float = 0.8
     search_radius_px: float = 24.0
+    wide_radius_px: float = 96.0            # relocalization re-match window
+    reinit_after_lost: int = 6              # frames lost before reinit KF
     pose_gn_iters: int = 8
     huber_delta_px: float = 3.0
     min_inliers: int = 15

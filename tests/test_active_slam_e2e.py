@@ -98,8 +98,9 @@ def active_run():
         if step % 4 == 3:
             system.tick_exploration()
             fi_values.append(system.fisher_information_of_pose(robot.xy, robot.yaw))
-        for _ in range(3):
-            nav.step()
+        # one control step per camera frame: a real camera runs at >= the
+        # controller rate (reference: 10 Hz controller, 15-30 fps camera)
+        nav.step()
     return system, robot, gt_traj, fi_values
 
 
