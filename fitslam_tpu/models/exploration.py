@@ -98,6 +98,7 @@ class ExplorationServer:
         fi_oracle: Optional[Callable[[np.ndarray, float, bool], float]] = None,
         get_kf_poses: Optional[Callable[[], Tuple]] = None,
         event_logger: Optional[EventLogger] = None,
+        peer_goals: Optional[Callable[[], List[np.ndarray]]] = None,
     ):
         self.cfg = cfg
         self.spec = spec
@@ -106,6 +107,10 @@ class ExplorationServer:
         self.get_robot_pose = get_robot_pose
         self.fi_oracle = fi_oracle
         self.get_kf_poses = get_kf_poses
+        # goal sharing with peer robots (multirobot_send_current_goal srv,
+        # ExplorationBT.cpp:1375-1388): peers' active goals are treated like
+        # blacklist circles so two robots never chase the same frontier
+        self.peer_goals = peer_goals
         self.log = event_logger or EventLogger(time_tier=MODULE)
 
         rcfg = cfg.roadmap
@@ -129,6 +134,11 @@ class ExplorationServer:
     # ------------------------------------------------------------------
     # Control surface (RViz panel equivalent)
     # ------------------------------------------------------------------
+
+    @property
+    def current_goal(self) -> Optional[np.ndarray]:
+        """Active goal for peers (SendCurrentGoal response equivalent)."""
+        return self._goal_xy
 
     def pause(self):
         self.state = ExplorationState.PAUSED
@@ -298,9 +308,12 @@ class ExplorationServer:
         return lie.SE3.identity((1,)), jnp.int32(1)
 
     def _blacklist_mask(self, fr: fx.Frontiers) -> jax.Array:
-        if not self.blacklist_xy:
+        circles = list(self.blacklist_xy)
+        if self.peer_goals is not None:
+            circles += [np.asarray(g) for g in self.peer_goals() if g is not None]
+        if not circles:
             return jnp.zeros(fr.valid.shape, bool)
-        bl = jnp.asarray(np.stack(self.blacklist_xy), jnp.float32)  # (B, 2)
+        bl = jnp.asarray(np.stack(circles), jnp.float32)  # (B, 2)
         d = jnp.linalg.norm(fr.goal_xy[:, None, :] - bl[None, :, :], axis=-1)
         return jnp.any(d < self.cfg.path_optimizer.blacklist_radius_m, axis=1)
 
