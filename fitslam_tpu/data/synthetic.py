@@ -290,3 +290,49 @@ def render_stereo(K: Intrinsics, world: World, T_wc: lie.SE3,
     return _render_dense_args(world.landmarks, K.fx, K.fy, K.cx, K.cy,
                               K.baseline, T_wc.R, T_wc.t,
                               width, height, splat_sigma, max_depth)
+
+
+@_vjit(static_argnames=("width", "height", "splat_sigma", "max_depth"))
+def _render_rgbd_args(landmarks, fx, fy, cx, cy, baseline, R, t,
+                      width, height, splat_sigma, max_depth):
+    K = Intrinsics(fx, fy, cx, cy, baseline)
+    world = World(landmarks)
+    T_wc = lie.SE3(R, t)
+    left, _ = render_dense(K, world, T_wc, width=width, height=height,
+                           splat_sigma=splat_sigma, max_depth=max_depth)
+    p_c = lie.apply(lie.inverse(T_wc), world.landmarks)
+    uvr, z_ok = project_stereo(K, p_c)
+    vis = z_ok & (p_c[..., 2] < max_depth)
+    depth = _splat_depth(uvr[..., 0], uvr[..., 1],
+                         jnp.where(vis, p_c[..., 2], jnp.inf), height, width)
+    return left, depth
+
+
+def render_rgbd(K: Intrinsics, world: World, T_wc: lie.SE3,
+                width: int = 640, height: int = 480,
+                splat_sigma: float = 1.2, max_depth: float = 18.0):
+    """RGB-D sensor model: intensity image + registered depth image
+    (z-buffered point splats; 0 = no return). The depth camera analog of the
+    reference's RGB-D input (orb_slam3 rgbd.launch.py)."""
+    return _render_rgbd_args(world.landmarks, K.fx, K.fy, K.cx, K.cy,
+                             K.baseline, T_wc.R, T_wc.t,
+                             width, height, splat_sigma, max_depth)
+
+
+def _splat_depth(u, v, z, height, width):
+    """Scatter-min z over a small stamp per landmark (z-buffer)."""
+    R = 2
+    iu = jnp.round(u).astype(jnp.int32)
+    iv = jnp.round(v).astype(jnp.int32)
+    offs = jnp.arange(-R, R + 1)
+    dy, dx = jnp.meshgrid(offs, offs, indexing="ij")
+    rows = iv[:, None, None] + dy[None]
+    cols = iu[:, None, None] + dx[None]
+    inb = (rows >= 0) & (rows < height) & (cols >= 0) & (cols < width)
+    flat = jnp.where(inb, rows * width + cols, height * width)
+    vals = jnp.broadcast_to(z[:, None, None], flat.shape)
+    zbuf = jnp.full((height * width + 1,), jnp.inf).at[flat.reshape(-1)].min(
+        jnp.where(inb, vals, jnp.inf).reshape(-1), mode="drop"
+    )[: height * width]
+    zbuf = zbuf.reshape(height, width)
+    return jnp.where(jnp.isfinite(zbuf), zbuf, 0.0)

@@ -71,6 +71,21 @@ class StereoSlam:
             )
         return self.process_prepared(frame)
 
+    def process_rgbd_frame(self, img, depth_img) -> Dict:
+        """Track one RGB-D frame (reference rgbd mode, SURVEY.md §2.1 S2):
+        same backend as stereo, depth read from the registered depth image."""
+        cfg = self.cfg
+        with self.log.scope("frontend", MODULE):
+            frame = tr.process_rgbd(
+                self.K, img, depth_img,
+                num_features=cfg.orb.num_features,
+                num_levels=cfg.orb.num_levels,
+                scale_factor=cfg.orb.scale_factor,
+                fast_threshold=cfg.orb.fast_threshold,
+                max_depth=cfg.camera.depth_max,
+            )
+        return self.process_prepared(frame)
+
     def process_frame_async(self, img_left, img_right):
         """Zero-readback frame step: no device->host transfer happens (the
         first D2H permanently degrades every later dispatch ~300x on this

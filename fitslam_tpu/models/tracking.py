@@ -72,6 +72,30 @@ def process_stereo(
     return StereoFrame(fl, depth_from_disparity(K, disparity))
 
 
+@vjit(static_argnames=("num_features", "num_levels", "scale_factor", "fast_threshold"))
+def process_rgbd(
+    K: Intrinsics,
+    img: jax.Array,
+    depth_img: jax.Array,
+    num_features: int = 1024,
+    num_levels: int = 4,
+    scale_factor: float = 1.4142135,
+    fast_threshold: float = 20.0,
+    max_depth: float = 14.0,
+) -> StereoFrame:
+    """RGB-D frontend (reference: orb_slam3 rgbd mode, rgbd.launch.py —
+    SURVEY.md §2.1 S2): ORB on the intensity image, per-feature depth read
+    from the registered depth image. Produces the same StereoFrame the
+    stereo path does, so the whole backend is modality-agnostic."""
+    fl = orb.extract_orb(img, num_features, num_levels, scale_factor, fast_threshold)
+    H, W = depth_img.shape
+    iu = jnp.clip(jnp.round(fl.xy[:, 0]).astype(jnp.int32), 0, W - 1)
+    iv = jnp.clip(jnp.round(fl.xy[:, 1]).astype(jnp.int32), 0, H - 1)
+    d = depth_img[iv, iu]
+    d = jnp.where((d > 0.1) & (d < max_depth) & fl.valid, d, 0.0)
+    return StereoFrame(fl, d)
+
+
 @vjit(static_argnames=("width", "height", "pose_iters"))
 def track_frame(
     K: Intrinsics,
