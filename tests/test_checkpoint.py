@@ -1,0 +1,175 @@
+"""Checkpoint/resume (SURVEY.md §5): full SLAM state round-trips bit-exactly
+and a restored system continues producing the same trajectory as the
+original — exceeding the reference, which persists only the FIM table."""
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fitslam_tpu.data import synthetic
+from fitslam_tpu.models import sim_robot as simr
+from fitslam_tpu.models.active_slam import camera_pose_from_robot
+from fitslam_tpu.models.slam import StereoSlam
+from fitslam_tpu.ops import grid as gr
+from fitslam_tpu.ops.geometry import Intrinsics
+from fitslam_tpu.utils import checkpoint as ckpt
+from fitslam_tpu.utils.config import FitSlamConfig
+
+SPEC = gr.GridSpec2D(size=64, resolution=0.25, origin_x=-8.0, origin_y=-8.0)
+W, H = 320, 240
+
+
+def _cfg():
+    cfg = FitSlamConfig()
+    return dataclasses.replace(
+        cfg,
+        camera=dataclasses.replace(cfg.camera, width=W, height=H, fx=200.0,
+                                   fy=200.0, cx=W / 2, cy=H / 2, baseline=0.2),
+        orb=dataclasses.replace(cfg.orb, num_features=256, num_levels=2,
+                                fast_threshold=12.0),
+        tracking=dataclasses.replace(cfg.tracking, min_inliers=10,
+                                     keyframe_min_interval=2,
+                                     keyframe_translation=0.25),
+        mapping=dataclasses.replace(cfg.mapping, max_keyframes=16,
+                                    max_landmarks=2048, max_observations=4096,
+                                    local_window=4, ba_iters=2),
+        loop=dataclasses.replace(cfg.loop, enabled=False),
+    )
+
+
+def test_pytree_roundtrip(tmp_path):
+    from fitslam_tpu.models import slam_map as sm
+
+    m = sm.empty_map(4, 64, 128)
+    arrays = ckpt.pytree_to_arrays(m)
+    p = str(tmp_path / "map.npz")
+    ckpt.save_arrays(p, {"map": arrays}, {"k": 1})
+    groups, meta = ckpt.load_arrays(p)
+    m2 = ckpt.arrays_to_pytree(m, groups["map"])
+    assert meta["k"] == 1
+    for a, b in zip(jax.tree.leaves(m), jax.tree.leaves(m2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_shape_mismatch_rejected(tmp_path):
+    from fitslam_tpu.models import slam_map as sm
+
+    m = sm.empty_map(4, 64, 128)
+    p = str(tmp_path / "map.npz")
+    ckpt.save_arrays(p, {"map": ckpt.pytree_to_arrays(m)}, {})
+    groups, _ = ckpt.load_arrays(p)
+    bigger = sm.empty_map(8, 64, 128)
+    with pytest.raises(ValueError):
+        ckpt.arrays_to_pytree(bigger, groups["map"])
+
+
+def test_slam_resume_identical(tmp_path):
+    cfg = _cfg()
+    K = Intrinsics.from_config(cfg.camera)
+    occ_gt = simr.make_rooms_world(SPEC, seed=3)
+    world3d = synthetic.world_from_occupancy(
+        occ_gt, SPEC, jax.random.PRNGKey(5), wall_height=2.0,
+        points_per_wall_cell=4, floor_points=4000,
+    )
+
+    def drive(slam, start, n):
+        x, y, yaw = -5.0, -5.0, 0.3
+        for i in range(start + n):
+            if i >= 2:
+                yaw += 0.05
+                x += 0.1 * math.cos(yaw)
+                y += 0.1 * math.sin(yaw)
+            if i < start:
+                continue
+            cam = camera_pose_from_robot(x, y, yaw)
+            left, right = synthetic.render_stereo(K, world3d, cam, width=W,
+                                                  height=H, max_depth=12.0)
+            slam.process_frame(left, right)
+
+    # original: 18 frames straight through
+    slam_a = StereoSlam(cfg)
+    drive(slam_a, 0, 12)
+    p = str(tmp_path / "slam.npz")
+    ckpt.save_slam(p, slam_a)
+    drive(slam_a, 12, 6)
+
+    # restored: load at frame 12, continue the same 6 frames
+    slam_b = StereoSlam(cfg)
+    ckpt.load_slam(p, slam_b)
+    assert slam_b.frame_id == 12
+    drive(slam_b, 12, 6)
+
+    assert len(slam_a.trajectory) == len(slam_b.trajectory) == 18
+    for Ta, Tb in zip(slam_a.trajectory[12:], slam_b.trajectory[12:]):
+        np.testing.assert_allclose(Ta, Tb, atol=1e-5)
+
+
+def test_active_system_roundtrip(tmp_path):
+    from fitslam_tpu.models.active_slam import ActiveSlamSystem
+    from fitslam_tpu.models.sim_nav import SimNavInterface
+
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        traversability=dataclasses.replace(cfg.traversability,
+                                           max_points_per_cloud=2048,
+                                           max_clouds=16),
+        frontier_search=dataclasses.replace(cfg.frontier_search,
+                                            search_radius_m=6.0,
+                                            max_frontiers=32),
+        roadmap=dataclasses.replace(cfg.roadmap, max_nodes=128),
+        nav=dataclasses.replace(cfg.nav, wavefront_iters=128),
+        fisher_information=dataclasses.replace(cfg.fisher_information,
+                                               threshold=5.0),
+    )
+    K = Intrinsics.from_config(cfg.camera)
+    occ_gt = simr.make_rooms_world(SPEC, seed=3)
+    world3d = synthetic.world_from_occupancy(
+        occ_gt, SPEC, jax.random.PRNGKey(5), wall_height=2.0,
+        points_per_wall_cell=4, floor_points=3000,
+    )
+
+    def build():
+        robot = simr.DiffDriveRobot(x=-5.0, y=-5.0, yaw=0.3, v_max=0.8, w_max=1.0)
+        box = {}
+        nav = SimNavInterface(cfg, SPEC, robot, lambda: box["s"].occupancy(), dt=0.15)
+        system = ActiveSlamSystem(cfg, SPEC, nav,
+                                  get_robot_pose=lambda: box["s"].estimated_robot_pose())
+        box["s"] = system
+        return system, robot, nav
+
+    sys_a, robot, nav = build()
+    for step in range(12):
+        cam = camera_pose_from_robot(robot.x, robot.y, robot.yaw)
+        if step == 0:
+            sys_a.set_world_anchor(cam)
+        left, right = synthetic.render_stereo(K, world3d, cam, width=W, height=H,
+                                              max_depth=12.0)
+        cloud, cvalid = synthetic.frustum_cloud(
+            K, world3d, cam, max_points=2048, max_depth=8.0, width=W, height=H)
+        sys_a.process_frame(left, right, cloud, cvalid)
+        if step % 4 == 3:
+            sys_a.tick_exploration()
+        nav.step()
+
+    p = str(tmp_path / "active.npz")
+    ckpt.save_active_system(p, sys_a)
+    sys_b, _, _ = build()
+    ckpt.load_active_system(p, sys_b)
+
+    np.testing.assert_array_equal(np.asarray(sys_a.occupancy()),
+                                  np.asarray(sys_b.occupancy()))
+    np.testing.assert_array_equal(np.asarray(sys_a.explorer.roadmap.xy),
+                                  np.asarray(sys_b.explorer.roadmap.xy))
+    assert sys_b.slam.frame_id == sys_a.slam.frame_id
+    assert sys_b.explorer.diag.ticks == sys_a.explorer.diag.ticks
+    # restored system keeps tracking
+    cam = camera_pose_from_robot(robot.x, robot.y, robot.yaw)
+    left, right = synthetic.render_stereo(K, world3d, cam, width=W, height=H,
+                                          max_depth=12.0)
+    info = sys_b.process_frame(left, right)
+    assert info["n_inliers"] > 10
