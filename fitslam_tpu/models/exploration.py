@@ -73,6 +73,7 @@ class ExplorationState(Enum):
     RECOVERING = 2
     DONE = 3
     FAILED = 4
+    INITIALIZING = 5
 
 
 @dataclass
@@ -122,6 +123,19 @@ class ExplorationServer:
         self.diag = ExplorationDiagnostics()
 
         self._search_radius = cfg.frontier_search.search_radius_m
+        # InitializationSequence: bootstrap wiggle before the first goal
+        # (forward leg then a full spin) so the map has enough structure for
+        # frontier search + FI (initialization_controller.cpp:4-60)
+        bt = cfg.exploration_bt
+        if bt.bootstrap_enabled:
+            self.state = ExplorationState.INITIALIZING
+            dt = max(bt.tick_dt_s, 1e-3)
+            self._boot_fwd_ticks = max(1, int(bt.bootstrap_forward_s / dt))
+            self._boot_spin_ticks = max(
+                1, int(2.0 * math.pi / max(bt.bootstrap_spin_rate, 1e-3) / dt)
+            )
+        else:
+            self._boot_fwd_ticks = self._boot_spin_ticks = 0
         self._goal_xy: Optional[np.ndarray] = None
         self._goal_heading = 0.0
         self._goal_sent_tick = -1
@@ -160,6 +174,21 @@ class ExplorationServer:
             return self.state
 
         robot_xy, robot_yaw = self.get_robot_pose()
+
+        if self.state == ExplorationState.INITIALIZING:
+            bt = self.cfg.exploration_bt
+            if self._boot_fwd_ticks > 0:
+                self._boot_fwd_ticks -= 1
+                if hasattr(self.nav, "drive_open_loop"):
+                    self.nav.drive_open_loop(bt.bootstrap_speed, 0.0)
+            elif self._boot_spin_ticks > 0:
+                self._boot_spin_ticks -= 1
+                if hasattr(self.nav, "drive_open_loop"):
+                    self.nav.drive_open_loop(0.0, bt.bootstrap_spin_rate)
+            else:
+                self.state = ExplorationState.EXPLORING
+            return self.state
+
         occ = navx.apply_overlay(self.get_occupancy(), self.lethal_overlay)
 
         if self.state == ExplorationState.RECOVERING:

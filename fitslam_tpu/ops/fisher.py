@@ -159,3 +159,78 @@ def generate_lookup_table(
     pts = jnp.stack([Y, Z, X], axis=-1).reshape(-1, 3)
     vals = point_information_local(pts, noise_var).reshape(X.shape)
     return vals, (xs, ys, zs)
+
+
+_LOOKUP_MAGIC = 0x46495431  # "FIT1"
+
+
+def save_lookup_table(path: str, vals, axes) -> None:
+    """Write the table as a binary .dat (gen_fi_lookup equivalent,
+    FisherInfoManager.cpp:117-229): header {magic, dims, axis ranges, step}
+    + float32 grid. The dense grid replaces the reference's ~1.5 M
+    <LookupKey,float> hash pairs."""
+    import numpy as np
+
+    vals = np.asarray(vals, np.float32)
+    xs, ys, zs = (np.asarray(a, np.float32) for a in axes)
+    with open(path, "wb") as f:
+        np.array([_LOOKUP_MAGIC, *vals.shape], np.int32).tofile(f)
+        np.array(
+            [xs[0], xs[-1], ys[0], ys[-1], zs[0], zs[-1],
+             xs[1] - xs[0] if len(xs) > 1 else 1.0],
+            np.float32,
+        ).tofile(f)
+        vals.tofile(f)
+
+
+def load_lookup_table(path: str):
+    """Read a table written by save_lookup_table and print reference-style
+    stats (entry count, min/max/mean/var, load ms —
+    FisherInfoManager.cpp:231-262). Returns (vals (Nx,Ny,Nz) jnp, axes)."""
+    import time
+
+    import numpy as np
+
+    t0 = time.perf_counter()
+    with open(path, "rb") as f:
+        head = np.fromfile(f, np.int32, 4)
+        if head[0] != _LOOKUP_MAGIC:
+            raise ValueError(f"{path}: not a FIM lookup table")
+        nx, ny, nz = (int(v) for v in head[1:])
+        rng = np.fromfile(f, np.float32, 7)
+        vals = np.fromfile(f, np.float32, nx * ny * nz).reshape(nx, ny, nz)
+    xs = np.linspace(rng[0], rng[1], nx, dtype=np.float32)
+    ys = np.linspace(rng[2], rng[3], ny, dtype=np.float32)
+    zs = np.linspace(rng[4], rng[5], nz, dtype=np.float32)
+    ms = (time.perf_counter() - t0) * 1e3
+    from fitslam_tpu.utils import logging as logx
+
+    logx.info(
+        f"FIM lookup: {vals.size} entries, "
+        f"min {vals.min():.3g} max {vals.max():.3g} "
+        f"mean {vals.mean():.3g} var {vals.var():.3g}, loaded in {ms:.1f} ms"
+    )
+    return jnp.asarray(vals), (jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(zs))
+
+
+@vjit
+def lookup_information(
+    table: jax.Array,          # (Nx, Ny, Nz) float32 grid
+    axes_min: jax.Array,       # (3,) first sample of each axis
+    axes_step: jax.Array,      # (3,) axis spacing
+    p_c: jax.Array,            # (..., 3) camera-frame points
+) -> jax.Array:
+    """Device-resident table evaluation (nearest-voxel gather) — the
+    lookup-table runtime path of the reference (FisherInfoManager.cpp:287-324)
+    as one batched gather on a dense 3D texture. Points outside the table
+    return 0 (the reference's hash-miss behavior)."""
+    # table axes are (forward, y, z) in the reference's sweep order: forward
+    # = our optical z, table (y, z) = our camera (x, y)
+    coords = jnp.stack([p_c[..., 2], p_c[..., 0], p_c[..., 1]], axis=-1)
+    idx_f = (coords - axes_min) / axes_step
+    idx = jnp.round(idx_f).astype(jnp.int32)
+    dims = jnp.asarray(table.shape, jnp.int32)
+    inb = jnp.all((idx >= 0) & (idx < dims), axis=-1)
+    idx = jnp.clip(idx, 0, dims - 1)
+    vals = table[idx[..., 0], idx[..., 1], idx[..., 2]]
+    return jnp.where(inb, vals, 0.0)

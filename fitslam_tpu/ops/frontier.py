@@ -189,3 +189,28 @@ def extract_frontiers(
         size=jnp.where(valid, size_i, 0),
         valid=valid,
     )
+
+
+def extract_frontiers_all_cells(
+    spec: GridSpec2D,
+    occ: jax.Array,
+    max_cells: int = 4096,
+    max_frontiers: int = 128,
+    max_cluster_size: int = 20,
+    min_cluster_size: int = 1,
+    cc_iters: int = 64,
+) -> Frontiers:
+    """Full-map frontier sweep with no BFS radius (offline analysis mode —
+    reference FrontierSearchAllCells, SURVEY.md §2.3 E18,
+    FrontierSearchAllCells.cpp:18-151): the radius-limited pipeline run from
+    the grid center with a radius covering every cell."""
+    center = jnp.asarray(
+        [spec.origin_x + spec.extent / 2.0, spec.origin_y + spec.extent / 2.0],
+        jnp.float32,
+    )
+    return extract_frontiers(
+        spec, occ, center, jnp.float32(spec.extent * 2.0),
+        max_cells=max_cells, max_frontiers=max_frontiers,
+        max_cluster_size=max_cluster_size, min_cluster_size=min_cluster_size,
+        cc_iters=cc_iters,
+    )

@@ -205,6 +205,12 @@ class ExplorationBTConfig:
     tick_dt_s: float = 0.07         # bt_sleep_ms 70
     rate_hz: float = 1.0            # 5.0 in rapid mode
     nav2_goal_timeout_s: float = 60.0
+    # InitializationSequence bootstrap wiggle (reference: 8 s forward +
+    # 360 deg spin, initialization_controller.cpp:4-60)
+    bootstrap_enabled: bool = False
+    bootstrap_forward_s: float = 2.0
+    bootstrap_speed: float = 0.3
+    bootstrap_spin_rate: float = 0.8    # rad/s; spin runs a full turn
     max_nav_failures_before_blacklist: int = 4
     fi_drop_window: int = 6
     fi_drop_limit: int = 3

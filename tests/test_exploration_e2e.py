@@ -94,3 +94,49 @@ def test_diagnostics_consistent(exploration_run):
     assert server.diag.ticks > 10
     assert server.diag.frontiers_found >= 0
     assert int(server.roadmap.n_nodes) > 3
+
+
+def test_initialization_sequence_bootstrap():
+    """E2 InitializationSequence: with bootstrap enabled the server drives a
+    forward leg then a full spin open-loop before dispatching any goal."""
+    import dataclasses as dc
+    import math
+
+    cfg = FitSlamConfig()
+    cfg = dc.replace(
+        cfg,
+        exploration_bt=dc.replace(
+            cfg.exploration_bt, bootstrap_enabled=True,
+            bootstrap_forward_s=0.5, bootstrap_spin_rate=2.0,
+            tick_dt_s=0.1,
+        ),
+        fisher_information=dc.replace(cfg.fisher_information, enabled=False),
+    )
+    gt = jnp.asarray(sim.make_rooms_world(SPEC, seed=1))
+    state = {"explored": jnp.full((SPEC.size, SPEC.size), gr.UNKNOWN, jnp.uint8)}
+    robot = sim.DiffDriveRobot(x=-5.0, y=-5.0, yaw=0.0, v_max=1.0, w_max=3.0)
+    nav = SimNavInterface(cfg, SPEC, robot, lambda: state["explored"], dt=0.1)
+    server = ExplorationServer(cfg, SPEC, lambda: state["explored"], nav,
+                               get_robot_pose=lambda: (robot.xy, robot.yaw))
+    assert server.state == ExplorationState.INITIALIZING
+
+    yaw0 = robot.yaw
+    spun = 0.0
+    last = robot.yaw
+    steps_in_init = 0
+    for _ in range(200):
+        state["explored"] = sim.reveal_sensor(
+            SPEC, gt, state["explored"], jnp.asarray(robot.xy, jnp.float32),
+            range_m=3.0,
+        )
+        st = server.tick()
+        d = (robot.yaw - last + math.pi) % (2 * math.pi) - math.pi
+        spun += abs(d)
+        last = robot.yaw
+        if st != ExplorationState.INITIALIZING:
+            break
+        steps_in_init += 1
+    assert steps_in_init >= 5
+    assert robot.x > -5.0 + 0.05          # forward leg happened
+    assert spun > 2 * math.pi * 0.8       # (nearly) full spin happened
+    assert server.diag.goals_sent == 0    # no goal during bootstrap

@@ -80,3 +80,51 @@ def test_lookup_table_matches_direct():
     direct = fisher.point_information_local(p)
     np.testing.assert_allclose(float(vals[0, 1, 2]), float(direct), rtol=1e-5)
     assert bool(jnp.isfinite(vals).all())
+
+
+def test_lookup_table_roundtrip_and_gather(tmp_path):
+    import numpy as np
+
+    vals, axes = fisher.generate_lookup_table(
+        x_range=(0.5, 6.0), yz_half=3.0, step=0.25, noise_var=0.01
+    )
+    p = str(tmp_path / "fi_lookup.dat")
+    fisher.save_lookup_table(p, vals, axes)
+    vals2, axes2 = fisher.load_lookup_table(p)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(vals2), rtol=1e-6)
+    for a, b in zip(axes, axes2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # device gather at exact voxel centers must equal the closed form
+    key = jax.random.PRNGKey(0)
+    pts = jnp.stack(
+        [
+            jax.random.uniform(key, (64,), minval=-2.5, maxval=2.5),
+            jax.random.uniform(jax.random.fold_in(key, 1), (64,), minval=-2.5, maxval=2.5),
+            jax.random.uniform(jax.random.fold_in(key, 2), (64,), minval=1.0, maxval=5.5),
+        ],
+        axis=-1,
+    )
+    xs, ys, zs = axes2
+    axes_min = jnp.asarray([xs[0], ys[0], zs[0]])
+    step = jnp.asarray([xs[1] - xs[0], ys[1] - ys[0], zs[1] - zs[0]])
+    # snap points to voxel centers so gather == closed form exactly
+    coords = jnp.stack([pts[:, 2], pts[:, 0], pts[:, 1]], axis=-1)
+    snapped = jnp.round((coords - axes_min) / step) * step + axes_min
+    pts_snap = jnp.stack([snapped[:, 1], snapped[:, 2], snapped[:, 0]], axis=-1)
+    got = fisher.lookup_information(vals2, axes_min, step, pts_snap)
+    want = fisher.point_information_local(pts_snap, 0.01)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4)
+
+    # out-of-table points return 0 (hash-miss behavior)
+    far = jnp.asarray([[50.0, 50.0, 50.0]])
+    assert float(fisher.lookup_information(vals2, axes_min, step, far)[0]) == 0.0
+
+
+def test_lookup_table_bad_magic(tmp_path):
+    import pytest
+
+    p = str(tmp_path / "junk.dat")
+    open(p, "wb").write(b"nope" * 10)
+    with pytest.raises(ValueError):
+        fisher.load_lookup_table(p)

@@ -123,3 +123,20 @@ def test_frontier_radius_limit():
     f_large = fr.extract_frontiers(SPEC, jnp.asarray(occ), robot, jnp.float32(8.0),
                                    max_cells=2048, max_frontiers=64)
     assert int(f_small.size.sum()) < int(f_large.size.sum())
+
+
+def test_frontier_all_cells_sweep():
+    """E18 FrontierSearchAllCells: frontiers found on the full map with no
+    radius limit, including ones far from any query point."""
+    from fitslam_tpu.ops import frontier as fx
+
+    G = 64
+    occ = np.full((G, G), gr.UNKNOWN, np.uint8)
+    occ[4:12, 4:12] = gr.FREE          # a known pocket far from center
+    occ[50:60, 50:60] = gr.FREE        # and another in the opposite corner
+    spec = gr.GridSpec2D(size=G, resolution=0.25, origin_x=-8.0, origin_y=-8.0)
+    fr = fx.extract_frontiers_all_cells(spec, jnp.asarray(occ), max_frontiers=64)
+    assert int(fr.valid.sum()) >= 2
+    xs = np.asarray(fr.goal_xy)[np.asarray(fr.valid)]
+    # frontiers exist around both pockets (opposite map corners)
+    assert xs[:, 0].min() < -4.0 and xs[:, 0].max() > 3.0
