@@ -26,6 +26,12 @@ def main():
     ap.add_argument("--height", type=int, default=240)
     ap.add_argument("--features", type=int, default=512)
     ap.add_argument("--levels", type=int, default=2)
+    ap.add_argument("--dataset", type=str, default="",
+                    help="directory with left/ and right/ PGM sequences; "
+                         "frames stream through the native prefetch reader")
+    ap.add_argument("--export-dataset", type=str, default="",
+                    help="render the synthetic sequence to PGM files here "
+                         "and exit (creates left/ and right/)")
     args = ap.parse_args()
 
     import jax
@@ -70,13 +76,46 @@ def main():
     T_gt = synthetic.straight_trajectory(args.frames, length=args.frames * 0.17,
                                          height=1.2, start_x=0.5)
 
+    if args.export_dataset:
+        from pathlib import Path as _P
+
+        from fitslam_tpu.runtime import write_pgm
+
+        ldir = _P(args.export_dataset) / "left"
+        rdir = _P(args.export_dataset) / "right"
+        ldir.mkdir(parents=True, exist_ok=True)
+        rdir.mkdir(parents=True, exist_ok=True)
+        for i in range(args.frames):
+            left, right = synthetic.render_stereo(
+                K, world, lie.SE3(T_gt.R[i], T_gt.t[i]), width=W, height=H)
+            write_pgm(str(ldir / f"{i:06d}.pgm"), np.asarray(left))
+            write_pgm(str(rdir / f"{i:06d}.pgm"), np.asarray(right))
+        print(f"[run_vo] exported {args.frames} stereo PGM pairs -> "
+              f"{args.export_dataset}")
+        return 0
+
+    readers = None
+    if args.dataset:
+        from fitslam_tpu.runtime import PgmSequenceReader
+
+        readers = (PgmSequenceReader(args.dataset + "/left", prefetch=8),
+                   PgmSequenceReader(args.dataset + "/right", prefetch=8))
+        args.frames = min(args.frames, readers[0].count)
+        assert (readers[0].width, readers[0].height) == (W, H), \
+            "dataset resolution must match --width/--height"
+
     slam = StereoSlam(cfg)
 
+    src = f"dataset {args.dataset} (native prefetch)" if readers else "synthetic"
     print(f"[run_vo] {args.frames} frames @ {W}x{H}, {args.features} features, "
-          f"{args.levels} pyramid levels on {jax.devices()[0].platform}")
+          f"{args.levels} pyramid levels on {jax.devices()[0].platform}; {src}")
     t0 = None
     for i in range(args.frames):
-        left, right = synthetic.render_stereo(K, world, lie.SE3(T_gt.R[i], T_gt.t[i]), width=W, height=H)
+        if readers:
+            left = jnp.asarray(next(readers[0]), jnp.float32)
+            right = jnp.asarray(next(readers[1]), jnp.float32)
+        else:
+            left, right = synthetic.render_stereo(K, world, lie.SE3(T_gt.R[i], T_gt.t[i]), width=W, height=H)
         jax.block_until_ready(left)
         if i == 1:
             t0 = time.monotonic()  # skip frame 0 (compile)
