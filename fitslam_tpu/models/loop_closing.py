@@ -147,6 +147,18 @@ class LoopCloser:
             )
         )
         m = sm.reanchor_landmarks(m)
+        # Atlas merge: a loop between keyframes of different maps welds the
+        # newer map into the older (ORB-SLAM3 map merging, S1)
+        map_i = int(m.kf_map_id[i])
+        map_j = int(m.kf_map_id[j])
+        merged = None
+        if map_i != map_j:
+            lo, hi = min(map_i, map_j), max(map_i, map_j)
+            m = m._replace(
+                kf_map_id=jnp.where(m.kf_map_id == hi, lo, m.kf_map_id)
+            )
+            slam.state = slam.state._replace(map_id=jnp.int32(lo))
+            merged = (hi, lo)
         slam.map = m
         # rebase the tracker on the corrected keyframe pose
         T_cur = lie.SE3(m.kf_T_cw.R[j], m.kf_T_cw.t[j])
@@ -157,4 +169,5 @@ class LoopCloser:
             "score": score,
             "inliers": int(n_inl),
             "pgo_chi2": float(np.asarray(chis)[-1]),
+            "merged_maps": merged,
         }

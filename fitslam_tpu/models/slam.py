@@ -177,6 +177,13 @@ class StereoSlam:
             "lost": self._initialized and n_inl < cfg.tracking.min_inliers,
         }
         self.last_frame = frame
+        if (
+            info["lost"]
+            and cfg.tracking.reloc_enabled
+            and int(self.state.lost_frames) >= cfg.tracking.reloc_after_lost
+        ):
+            if self._try_relocalize(frame):
+                info["relocalized"] = True
         if was_kf:
             self._initialized = True
             kf_idx = int(outs.kf_idx)
@@ -191,6 +198,37 @@ class StereoSlam:
         self.trajectory.append(np.asarray(outs.pose_wc))
         self.frame_id += 1
         return info
+
+    # ------------------------------------------------------------------
+    # Relocalization (ORB-SLAM3 place-recognition re-entry, S1)
+    # ------------------------------------------------------------------
+
+    def _try_relocalize(self, frame: tr.StereoFrame) -> bool:
+        """Query keyframe place signatures with the lost frame, geometrically
+        verify against the best candidate's landmarks, and re-lock the
+        tracker there. Crossing into another Atlas map switches the active
+        map id (the reference's map-reuse path)."""
+        from fitslam_tpu.models.loop_closing import detect_loop, verify_loop
+
+        cfg = self.cfg.tracking
+        m = self.map
+        sig = signature_from_descriptors(frame.feats.desc, frame.feats.valid)
+        # no temporal gap: every valid keyframe is a relocalization target
+        cand = detect_loop(m, sig, jnp.int32(m.kf_valid.shape[0] + 1),
+                           min_gap=-m.kf_valid.shape[0])
+        if float(cand.score) < cfg.reloc_min_score:
+            return False
+        T_loop, n_inl = verify_loop(self.K, m, frame, cand.kf_idx)
+        if int(n_inl) < cfg.reloc_min_inliers:
+            return False
+        self.state = self.state._replace(
+            T_cw=T_loop,
+            T_cw_last_kf=T_loop,
+            velocity=jnp.zeros((6,)),
+            lost_frames=jnp.int32(0),
+            map_id=m.kf_map_id[cand.kf_idx],
+        )
+        return True
 
     # ------------------------------------------------------------------
     # Service surface (reference: slam_msgs services, SURVEY.md §1 L2→up)

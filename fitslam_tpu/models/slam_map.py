@@ -37,6 +37,7 @@ class SlamMap(NamedTuple):
     kf_valid: jax.Array       # (K,) bool
     kf_frame_id: jax.Array    # (K,) int32 source frame index
     kf_signature: jax.Array   # (K, D) float32 place-recognition signature
+    kf_map_id: jax.Array      # (K,) int32 Atlas map membership (S1 multi-map)
     # --- landmarks (capacity L) ---
     lm_pos: jax.Array         # (L, 3) world
     lm_desc: jax.Array        # (L, 256) ±1 bfloat16 representative descriptor
@@ -72,6 +73,7 @@ def empty_map(max_keyframes: int, max_landmarks: int, max_observations: int,
         kf_valid=jnp.zeros((K,), bool),
         kf_frame_id=jnp.zeros((K,), jnp.int32),
         kf_signature=jnp.zeros((K, signature_dim), jnp.float32),
+        kf_map_id=jnp.zeros((K,), jnp.int32),
         lm_pos=jnp.zeros((L, 3), jnp.float32),
         lm_desc=jnp.zeros((L, 256), jnp.bfloat16),
         lm_valid=jnp.zeros((L,), bool),
@@ -105,6 +107,7 @@ def insert_keyframe(
     frame_id: jax.Array,
     signature: jax.Array,      # (D,) place-recognition signature
     scale_factor: float = 1.4142135,
+    map_id=0,                  # Atlas map this keyframe belongs to
 ) -> SlamMap:
     """Append a keyframe: record observations of matched landmarks, spawn new
     landmarks from unmatched features that carry stereo depth.
@@ -127,6 +130,7 @@ def insert_keyframe(
         kf_valid=m.kf_valid.at[kf_idx].set(True),
         kf_frame_id=m.kf_frame_id.at[kf_idx].set(frame_id.astype(jnp.int32)),
         kf_signature=m.kf_signature.at[kf_idx].set(signature),
+        kf_map_id=m.kf_map_id.at[kf_idx].set(jnp.asarray(map_id, jnp.int32)),
     )
 
     u_r = jnp.where(

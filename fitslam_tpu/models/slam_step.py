@@ -89,9 +89,13 @@ def _backend_body(
     def do_insert(args):
         m, state2 = args
         sig = signature_from_descriptors(frame.feats.desc, frame.feats.valid)
+        # a reinit keyframe starts a NEW Atlas map (ORB-SLAM3 multi-map,
+        # SURVEY.md §2.1 S1): its pose is a motion-model guess disconnected
+        # from the old map; relocalization/loop closure merges maps later
+        new_map_id = state2.map_id + reinit.astype(jnp.int32)
         m2 = sm.insert_keyframe(
             m, K, state2.T_cw, frame.feats, frame.depth, lm_match,
-            frame_id, sig, scale_factor=scale_factor,
+            frame_id, sig, scale_factor=scale_factor, map_id=new_map_id,
         )
         m3 = sm.local_ba(m2, K, window=ba_window, max_obs_local=ba_max_obs,
                          iters=ba_iters)
@@ -99,6 +103,7 @@ def _backend_body(
         kf_idx = m2.n_kf - 1
         state3 = tr.rebase_to_kf(state2, m4.kf_T_cw.R, m4.kf_T_cw.t, kf_idx)
         state3 = tr.mark_keyframe(state3, n_inl)
+        state3 = state3._replace(map_id=new_map_id)
         return m4, state3, kf_idx
 
     def no_insert(args):

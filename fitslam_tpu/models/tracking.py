@@ -37,6 +37,7 @@ class TrackState(NamedTuple):
     kf_ref_inliers: jax.Array    # () int32 — inliers when last KF was made
     initialized: jax.Array       # () bool
     lost_frames: jax.Array       # () int32 consecutive frames below min_inliers
+    map_id: jax.Array            # () int32 active Atlas map
 
 
 def init_track_state() -> TrackState:
@@ -48,6 +49,7 @@ def init_track_state() -> TrackState:
         kf_ref_inliers=jnp.int32(0),
         initialized=jnp.bool_(False),
         lost_frames=jnp.int32(0),
+        map_id=jnp.int32(0),
     )
 
 
@@ -134,10 +136,15 @@ def track_frame(
     uvr = jnp.concatenate([feats.xy, u_r[:, None]], axis=-1)
     sigma2 = jnp.ones((feats.xy.shape[0],))
 
+    # only the ACTIVE Atlas map's landmarks participate in tracking
+    # (ORB-SLAM3 S1: other maps are reachable via relocalization/merge only)
+    lm_map_ok = m.kf_map_id[m.lm_anchor_kf] == state.map_id
+
     def project_and_match(T_base, radius):
         p_c, vis = landmarks_in_view(
             m, K, lie.inverse(T_base), jnp.float32(40.0), width, height
         )
+        vis = vis & lm_map_ok
         z_safe = jnp.where(p_c[..., 2] > 1e-3, p_c[..., 2], 1.0)
         lm_uv = jnp.stack(
             [K.fx * p_c[..., 0] / z_safe + K.cx, K.fy * p_c[..., 1] / z_safe + K.cy],

@@ -58,6 +58,12 @@ class TrackingConfig:
     search_radius_px: float = 24.0
     wide_radius_px: float = 96.0            # relocalization re-match window
     reinit_after_lost: int = 6              # frames lost before reinit KF
+    # relocalization (ORB-SLAM3 place-recognition re-entry, S1): when lost,
+    # query keyframe signatures and re-lock before a reinit spawns a new map
+    reloc_enabled: bool = True
+    reloc_after_lost: int = 2               # lost frames before first attempt
+    reloc_min_score: float = 0.1
+    reloc_min_inliers: int = 20
     pose_gn_iters: int = 8
     huber_delta_px: float = 3.0
     min_inliers: int = 15
