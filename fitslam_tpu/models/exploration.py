@@ -117,6 +117,7 @@ class ExplorationServer:
         rcfg = cfg.roadmap
         self.roadmap = rmx.empty_roadmap(rcfg.max_nodes, rcfg.max_edges_per_node)
         self.lethal_overlay = jnp.zeros((spec.size, spec.size), bool)
+        self.boundary_mask: Optional[jax.Array] = None  # E7 boundary polygon
         self.blacklist_xy: List[np.ndarray] = []     # blacklisted goal circles
         self.trailing_poses: List[np.ndarray] = []   # last N robot poses
         self.state = ExplorationState.EXPLORING
@@ -157,6 +158,16 @@ class ExplorationServer:
     def pause(self):
         self.state = ExplorationState.PAUSED
         self.nav.cancel()
+
+    def update_boundary_polygon(self, verts_xy) -> None:
+        """Clip exploration to a world-frame polygon (UpdateBoundaryPolygon
+        BT node -> CostAssigner::updateBoundaryPolygon, CostAssigner.cpp:121).
+        Pass None (or < 3 vertices) to clear the boundary."""
+        verts = None if verts_xy is None else np.asarray(verts_xy, np.float32)
+        if verts is None or len(verts) < 3:
+            self.boundary_mask = None
+            return
+        self.boundary_mask = fx.polygon_mask(self.spec, jnp.asarray(verts))
 
     def resume(self):
         if self.state == ExplorationState.PAUSED:
@@ -290,6 +301,7 @@ class ExplorationServer:
             max_cluster_size=fcfg.max_frontier_cluster_size,
             min_cluster_size=fcfg.min_frontier_cluster_size,
             cc_iters=fcfg.cc_iters,
+            boundary=self.boundary_mask,
         )
 
     def _update_roadmap(self, occ, robot_xy):

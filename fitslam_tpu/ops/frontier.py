@@ -86,6 +86,32 @@ def frontier_mask(
     return unknown & free4 & jnp.logical_not(lethal8) & within
 
 
+@vjit(static_argnames=("spec",))
+def polygon_mask(spec: GridSpec2D, verts: jax.Array) -> jax.Array:
+    """(G, G) bool mask of cells inside a world-frame polygon.
+
+    Boundary-polygon support (reference UpdateBoundaryPolygon ->
+    CostAssigner::updateBoundaryPolygon, CostAssigner.cpp:121-167): the
+    exploration area is clipped to a user polygon. Even-odd rule evaluated
+    for every cell center at once — one (V, G, G) broadcast instead of a
+    per-cell host test. verts: (V, 2) world coords, V >= 3.
+    """
+    G = spec.size
+    yy = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    px = (xx.astype(jnp.float32) + 0.5) * spec.resolution + spec.origin_x
+    py = (yy.astype(jnp.float32) + 0.5) * spec.resolution + spec.origin_y
+    a = verts                        # (V, 2) edge starts
+    b = jnp.roll(verts, -1, axis=0)  # (V, 2) edge ends
+    ay, by = a[:, 1, None, None], b[:, 1, None, None]
+    ax, bx = a[:, 0, None, None], b[:, 0, None, None]
+    straddles = (ay > py[None]) != (by > py[None])
+    t = (py[None] - ay) / jnp.where(jnp.abs(by - ay) < 1e-12, 1e-12, by - ay)
+    x_cross = ax + t * (bx - ax)
+    hits = straddles & (px[None] < x_cross)
+    return (jnp.sum(hits.astype(jnp.int32), axis=0) % 2) == 1
+
+
 @vjit(static_argnames=("iters",))
 def propagate_labels(mask: jax.Array, iters: int = 64) -> jax.Array:
     """8-connected min-label propagation; labels are flat indices (INF off-mask).
@@ -118,11 +144,15 @@ def extract_frontiers(
     max_cluster_size: int = 20,
     min_cluster_size: int = 1,
     cc_iters: int = 64,
+    boundary: jax.Array = None,   # optional (G, G) bool exploration boundary
 ) -> Frontiers:
     """Full frontier pipeline: mask -> clusters -> split -> goals."""
     G = spec.size
     robot_cell, _ = spec.world_to_cell(robot_xy)
     mask = frontier_mask(occ, robot_cell, radius_m / spec.resolution)
+    if boundary is not None:
+        # clip to the boundary polygon (UpdateBoundaryPolygon, §2.3 E7)
+        mask = mask & boundary
     lbl = propagate_labels(mask, cc_iters)
 
     # fixed-capacity frontier cell list

@@ -140,3 +140,57 @@ def test_frontier_all_cells_sweep():
     xs = np.asarray(fr.goal_xy)[np.asarray(fr.valid)]
     # frontiers exist around both pockets (opposite map corners)
     assert xs[:, 0].min() < -4.0 and xs[:, 0].max() > 3.0
+
+
+# ---------------------------------------------------------------------------
+# Boundary polygon (SURVEY.md §2.3 E7: UpdateBoundaryPolygon)
+# ---------------------------------------------------------------------------
+
+
+def test_polygon_mask_square():
+    from fitslam_tpu.ops import frontier as fx
+    spec = gr.GridSpec2D(size=40, resolution=0.5, origin_x=-10.0, origin_y=-10.0)
+    verts = jnp.array([[-5.0, -5.0], [5.0, -5.0], [5.0, 5.0], [-5.0, 5.0]])
+    m = np.asarray(fx.polygon_mask(spec, verts))
+    # inside
+    cy, cx = 20, 20  # world (0.25, 0.25)
+    assert m[cy, cx]
+    # outside corners
+    assert not m[0, 0] and not m[-1, -1]
+    # area ~ (10/0.5)^2 = 400 cells
+    assert abs(int(m.sum()) - 400) <= 42
+
+
+def test_polygon_mask_concave():
+    from fitslam_tpu.ops import frontier as fx
+    spec = gr.GridSpec2D(size=40, resolution=0.5, origin_x=-10.0, origin_y=-10.0)
+    # L-shape: notch cut out of the upper-right quadrant
+    verts = jnp.array([
+        [-8.0, -8.0], [8.0, -8.0], [8.0, 0.0], [0.0, 0.0], [0.0, 8.0],
+        [-8.0, 8.0],
+    ])
+    m = np.asarray(fx.polygon_mask(spec, verts))
+    # point in the notch (upper right) is outside
+    cell_in_notch = spec.world_to_cell(jnp.array([4.0, 4.0]))[0]
+    assert not m[int(cell_in_notch[1]), int(cell_in_notch[0])]
+    cell_inside = spec.world_to_cell(jnp.array([-4.0, 4.0]))[0]
+    assert m[int(cell_inside[1]), int(cell_inside[0])]
+
+
+def test_extract_frontiers_respects_boundary():
+    from fitslam_tpu.ops import frontier as fx
+    spec = gr.GridSpec2D(size=64, resolution=0.25, origin_x=-8.0, origin_y=-8.0)
+    occ = np.full((64, 64), gr.UNKNOWN, np.uint8)
+    occ[24:40, 24:40] = gr.FREE  # free block around origin => frontier ring
+    occ_j = jnp.asarray(occ)
+    robot = jnp.array([0.0, 0.0])
+    fr_all = fx.extract_frontiers(spec, occ_j, robot, jnp.float32(20.0))
+    assert int(fr_all.valid.sum()) > 0
+    # boundary polygon covering only the left half-plane
+    verts = jnp.array([[-8.0, -8.0], [0.0, -8.0], [0.0, 8.0], [-8.0, 8.0]])
+    bnd = fx.polygon_mask(spec, verts)
+    fr_b = fx.extract_frontiers(spec, occ_j, robot, jnp.float32(20.0),
+                                boundary=bnd)
+    goals = np.asarray(fr_b.goal_xy)[np.asarray(fr_b.valid)]
+    assert len(goals) > 0
+    assert (goals[:, 0] <= 0.0 + 0.25).all()  # all goals in the left half
