@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=3)
     ap.add_argument("--checkpoint", type=str, default="")
+    ap.add_argument("--record", type=str, default="",
+                    help="directory for run artifacts: streams npz, coverage "
+                         "CSV, rendered world PPMs (RosVisualizer parity)")
     ap.add_argument("--bootstrap", action="store_true",
                     help="run the InitializationSequence wiggle first")
     args = ap.parse_args()
@@ -93,6 +96,10 @@ def main():
                               get_robot_pose=lambda: box["s"].estimated_robot_pose())
     box["s"] = system
 
+    from fitslam_tpu.utils import viz
+
+    rec = viz.ArtifactRecorder(enabled=bool(args.record))
+
     print(f"[active_slam] {args.frames} frames @ {W}x{H} on "
           f"{jax.devices()[0].platform}; world seed {args.seed}")
     gt_traj = []
@@ -116,8 +123,15 @@ def main():
         if step % 4 == 3:
             system.tick_exploration()
         nav.step()
-        known = np.asarray(system.occupancy()) != gr.UNKNOWN
+        occ_now = np.asarray(system.occupancy())
+        known = occ_now != gr.UNKNOWN
         coverage.append(ev.coverage_fraction(known))
+        if rec.enabled:
+            t = step * 0.15
+            rec.publish_pose(np.array([robot.x, robot.y, robot.yaw]), t)
+            rec.record_coverage(occ_now, t)
+            if system.explorer.current_goal is not None:
+                rec.publish("goal", system.explorer.current_goal, t)
         if step % 10 == 0:
             print(f"  step {step:4d} coverage={coverage[-1]:.3f} "
                   f"kf={int(system.slam.map.n_kf)} "
@@ -145,6 +159,22 @@ def main():
 
         ckpt.save_active_system(args.checkpoint, system)
         print(f"[active_slam] checkpointed full system -> {args.checkpoint}")
+    if rec.enabled:
+        out = Path(args.record)
+        rec.export_npz(str(out / "streams.npz"))
+        rec.export_coverage_csv(str(out / "coverage.csv"))
+        occ_now = np.asarray(system.occupancy())
+        rcell, _ = SPEC.world_to_cell(jnp.array([robot.x, robot.y]))
+        viz.render_world_ppm(
+            occ_now, str(out / "world.ppm"),
+            robot_cell=(int(rcell[0]), int(rcell[1])),
+            roadmap_cells=np.asarray(
+                SPEC.world_to_cell(system.explorer.roadmap.xy)[0]
+            )[np.asarray(system.explorer.roadmap.valid)],
+        )
+        viz.grid_to_pgm(occ_now, str(out / "map.pgm"))
+        print(f"[active_slam] artifacts -> {out}/ (streams.npz, coverage.csv, "
+              f"world.ppm, map.pgm)")
     if ate > 0.5:
         print("[active_slam] WARNING: ATE above 50 cm bound")
         return 1
