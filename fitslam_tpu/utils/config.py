@@ -16,7 +16,7 @@ state.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field, fields, is_dataclass
+from dataclasses import dataclass, field, fields, is_dataclass, replace
 from typing import Any, Dict, Optional, Tuple
 
 import yaml
@@ -295,6 +295,46 @@ class FitSlamConfig:
     recovery: RecoveryConfig = field(default_factory=RecoveryConfig)
     multi_robot: MultiRobotConfig = field(default_factory=MultiRobotConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    @staticmethod
+    def preset(mode: str) -> "FitSlamConfig":
+        """Per-mode config triples of the reference (SURVEY.md §5 config:
+        launch_{rapid,light,active_slam}.sh select {params yaml, BT xml}
+        differing only in tick rate, costmap publish rate, and FI nodes):
+
+        - "rapid": 5 Hz pipeline rate, no Fisher-information gate, simulated
+          coverage sensor on (rapid_exploration.xml:4, rapid params).
+        - "light": 1 Hz rate, no FI gate, coverage sensor on, costmap publish
+          effectively off (light params publish_frequency 0.001).
+        - "active_slam": 1 Hz rate, FI gate + lethal-marker layer enabled
+          (active_slam_exploration_params.yaml, active_slam_exploration.xml).
+        """
+        base = FitSlamConfig()
+        if mode == "rapid":
+            return replace(
+                base,
+                exploration_bt=replace(base.exploration_bt, rate_hz=5.0),
+                fisher_information=replace(base.fisher_information,
+                                           enabled=False),
+                sensor_simulator=replace(base.sensor_simulator, enabled=True),
+            ).validate()
+        if mode == "light":
+            return replace(
+                base,
+                exploration_bt=replace(base.exploration_bt, rate_hz=1.0),
+                fisher_information=replace(base.fisher_information,
+                                           enabled=False),
+                sensor_simulator=replace(base.sensor_simulator, enabled=True),
+            ).validate()
+        if mode == "active_slam":
+            return replace(
+                base,
+                exploration_bt=replace(base.exploration_bt, rate_hz=1.0),
+                fisher_information=replace(base.fisher_information,
+                                           enabled=True),
+            ).validate()
+        raise KeyError(f"unknown launch mode {mode!r}; "
+                       "expected rapid | light | active_slam")
 
     def validate(self) -> "FitSlamConfig":
         """Startup sanity checks (reference: Parameters.cpp:6-60)."""

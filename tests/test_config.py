@@ -72,3 +72,19 @@ def test_profiling_smoke():
     csv_text = log.to_csv()
     assert "frontier_search" in csv_text
     assert log.time_since_start() >= 0.0
+
+
+def test_launch_mode_presets():
+    """Per-mode config parity (SURVEY.md §5: rapid/light/active triples)."""
+    rapid = C.FitSlamConfig.preset("rapid")
+    assert rapid.exploration_bt.rate_hz == 5.0
+    assert not rapid.fisher_information.enabled
+    assert rapid.sensor_simulator.enabled
+    light = C.FitSlamConfig.preset("light")
+    assert light.exploration_bt.rate_hz == 1.0
+    assert not light.fisher_information.enabled
+    active = C.FitSlamConfig.preset("active_slam")
+    assert active.exploration_bt.rate_hz == 1.0
+    assert active.fisher_information.enabled
+    with pytest.raises(KeyError):
+        C.FitSlamConfig.preset("warp")
