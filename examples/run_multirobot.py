@@ -57,7 +57,6 @@ def main():
     gt = jnp.asarray(sim.make_rooms_world(SPEC, seed=args.seed))
     state = {"explored": jnp.full((SPEC.size, SPEC.size), gr.UNKNOWN, jnp.uint8)}
 
-    rng = np.random.default_rng(args.seed)
     starts = [(-5.0, -5.0, 0.0), (5.0, 5.0, 3.0), (-5.0, 5.0, -1.5),
               (5.0, -5.0, 1.5)]
     robots = [
@@ -99,8 +98,8 @@ def main():
 
     print(f"\n[multirobot] coverage curve (every 10 steps): "
           f"{[round(c, 3) for c in coverage[::10]]}")
-    print(f"[multirobot] final coverage = {coverage[-1]:.3f} in "
-          f"{len(coverage)} steps ({wall:.1f} s wall)")
+    print(f"[multirobot] final coverage = {coverage[-1] if coverage else 0.0:.3f} "
+          f"in {len(coverage)} steps ({wall:.1f} s wall)")
     for i, r in enumerate(robots):
         traj = [(x, y, 0.0) for x, y, _ in r.trajectory]
         print(f"[multirobot] rover {i}: path length = "
@@ -119,7 +118,7 @@ def main():
             if len(cells) > 1 else None,
         )
         print(f"[multirobot] artifacts -> {out}/fleet.ppm")
-    return 0 if coverage[-1] > 0.3 else 1
+    return 0 if coverage and coverage[-1] > 0.3 else 1
 
 
 if __name__ == "__main__":

@@ -81,6 +81,7 @@ class ActiveSlamSystem:
             fi_oracle=self.fisher_information_of_pose,
             get_kf_poses=self.kf_poses_world,
             event_logger=self.log,
+            get_landmarks=self.landmark_map_world,
         )
 
     # ------------------------------------------------------------------
@@ -176,6 +177,20 @@ class ActiveSlamSystem:
             saturation_exponent=fcfg.saturation_exponent,
         )
         return float(info)
+
+    def landmark_map_world(self):
+        """World-frame landmark ground-plane positions + per-landmark
+        information weight for fisher_information_in_path (the landmark side
+        of computeInformationFrontierPair, FisherInformationHelpers.cpp:125-143).
+        Returns (lm_xy (L, 2), lm_info (L,), lm_valid (L,))."""
+        m = self.slam.map
+        p = m.lm_pos
+        if self.T_anchor is not None:
+            p = lie.apply(self.T_anchor, p)
+        info = fisher.point_information_local(
+            m.lm_pos_anchor, self.cfg.fisher_information.measurement_noise
+        )
+        return p[:, :2], info, m.lm_valid
 
     def tick_exploration(self):
         return self.explorer.tick()

@@ -46,9 +46,10 @@ class FrontierCosts(NamedTuple):
     weighted_cost: jax.Array    # (F,) 1/(beta*u); INF if excluded
     achievable: jax.Array       # (F,) bool
     node_idx: jax.Array         # (F,) int32 nearest roadmap node
+    path_fi: jax.Array          # (F,) fisher_information_in_path (E4/E5)
 
 
-@vjit(static_argnames=("spec",))
+@vjit(static_argnames=("spec", "n_rays", "n_steps", "fov_rad", "min_path_info"))
 def assign_costs(
     spec: GridSpec2D,
     occ: jax.Array,
@@ -64,12 +65,20 @@ def assign_costs(
     factor_of_max_info: float = 0.7,
     raycast_depth_m: float = 2.0,
     grid_pot: jax.Array | None = None,  # (G, G) wavefront potential from robot
+    n_rays: int = 64,
+    n_steps: int = 16,
+    fov_rad: float = 1.04,
+    path_fi: jax.Array | None = None,   # (F,) fisher_information_in_path
+    min_path_info: float = 0.0,         # exclude below this path FI (0 = off)
+    robot_xy: jax.Array | None = None,  # (2,) for closeness rejection
+    closeness_rejection: float = 0.5,   # costCalculator.closeness_rejection_threshold
 ) -> FrontierCosts:
     """Full cost pipeline for all frontiers at once."""
     F = fr.valid.shape[0]
 
     heading, info = raycast.arrival_information(
-        spec, occ, fr.goal_xy, fr.valid, depth_m=raycast_depth_m
+        spec, occ, fr.goal_xy, fr.valid, depth_m=raycast_depth_m,
+        n_rays=n_rays, n_steps=n_steps, fov_rad=fov_rad,
     )
 
     # roadmap path length: snap each frontier to its nearest node
@@ -87,13 +96,29 @@ def assign_costs(
         path_len = jnp.minimum(path_len, gd)
     reachable = fr.valid & (path_len < INF / 2)
 
-    # achievability: not in lethal, info above the floor
+    # achievability: not in lethal, info above the STATIC floor. The
+    # reference computes a ground-truth ceiling once from an empty-map sweep
+    # (all cells counted) x 1.2 and marks frontiers below
+    # factor_of_max_info x that ceiling unachievable
+    # (CostCalculator.cpp:123-191 setMaxArrivalInformation). The empty-map
+    # sweep is (FOV-window ray count) x (steps per ray) in closed form.
     cell_occ = raycast._sample_occ(spec, occ, fr.goal_xy)
     not_lethal = jnp.logical_not((cell_occ != UNKNOWN) & (cell_occ >= LETHAL))
-    info_floor = factor_of_max_info * jnp.max(jnp.where(fr.valid, info, 0.0))
+    fov_w = max(1, int(round(fov_rad / (2.0 * math.pi / n_rays))))
+    info_ceiling = 1.2 * fov_w * n_steps
+    info_floor = factor_of_max_info * info_ceiling
     achievable = fr.valid & not_lethal & reachable & (info > 0.0)
+    if robot_xy is not None:
+        # closeness rejection (active_slam_exploration_params.yaml:18): a
+        # frontier the robot already stands on can never be re-dispatched —
+        # pairs with the nav goal tolerance to prevent reached-but-unmapped
+        # goal deadlock
+        d_robot = jnp.linalg.norm(fr.goal_xy - robot_xy[None, :], axis=-1)
+        achievable = achievable & (d_robot > closeness_rejection)
 
-    # normalized utility (reference: FrontierCostsManager.cpp:47-213)
+    # normalized utility (reference: FrontierCostsManager.cpp:47-213);
+    # normalization stats come from the pre-floor achievable set so the
+    # floor doesn't feed back into its own scale
     info_max = jnp.maximum(jnp.max(jnp.where(achievable, info, 0.0)), 1e-6)
     info_norm = jnp.clip(info / info_max, 0.0, 1.0)
     time_cost = path_len / v_max + jnp.pi / (2.0 * w_max)  # travel + nominal turn
@@ -103,7 +128,15 @@ def assign_costs(
     u = alpha * info_norm + (1.0 - alpha) * (1.0 - jnp.clip(time_norm, 0.0, 1.0))
     weighted = 1.0 / jnp.maximum(beta * u, 1e-6)
 
-    excluded = jnp.logical_not(achievable) | blacklisted | (info < info_floor * 0.0)
+    achievable = achievable & (info >= info_floor)
+    if path_fi is None:
+        path_fi = jnp.zeros((F,), jnp.float32)
+    elif min_path_info > 0.0:
+        # fisher_information_in_path gate: a frontier whose approach path
+        # crosses landmark-poor space is unachievable, rerouting the plan
+        # (reference Frontier::setFisherInformation consumers; VERDICT #1)
+        achievable = achievable & (path_fi >= min_path_info)
+    excluded = jnp.logical_not(achievable) | blacklisted
     weighted = jnp.where(excluded, INF, weighted)
     return FrontierCosts(
         arrival_info=info,
@@ -113,6 +146,7 @@ def assign_costs(
         weighted_cost=weighted,
         achievable=achievable,
         node_idx=node,
+        path_fi=path_fi,
     )
 
 
@@ -122,6 +156,10 @@ def assign_costs(
 
 MAX_LOCAL = 5
 _PERMS = np.array(list(permutations(range(MAX_LOCAL))), np.int32)  # (120, 5)
+# roadmap-unreachable legs cost a large FINITE penalty so the TSP still
+# orders what it can reach (reference: LOCAL_FRONTIER_SEARCH_RADIUS * 100000,
+# FullPathOptimizer.cpp:411-418)
+UNREACHABLE_LEG = 1.2e6
 
 
 class PathPlan(NamedTuple):
@@ -148,6 +186,9 @@ def optimize_full_path(
     in one gather+sum (FullPathOptimizer::getBestFullPath, :456-516)."""
     perms = jnp.asarray(_PERMS)                       # (P, 5)
     P = perms.shape[0]
+    pairwise_dist = jnp.where(
+        pairwise_dist >= INF / 2, UNREACHABLE_LEG, pairwise_dist
+    )
 
     # distance robot -> first local of each perm
     first = perms[:, 0]

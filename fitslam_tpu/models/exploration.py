@@ -76,6 +76,15 @@ class ExplorationState(Enum):
     INITIALIZING = 5
 
 
+class PathSafety(Enum):
+    """PathSafetyStatus (FullPathOptimizer.hpp): SAFE / UNSAFE, or
+    UNDETERMINED when no trailing pose FOV-overlaps the segment to check."""
+
+    SAFE = 0
+    UNSAFE = 1
+    UNDETERMINED = 2
+
+
 @dataclass
 class ExplorationDiagnostics:
     ticks: int = 0
@@ -100,6 +109,7 @@ class ExplorationServer:
         get_kf_poses: Optional[Callable[[], Tuple]] = None,
         event_logger: Optional[EventLogger] = None,
         peer_goals: Optional[Callable[[], List[np.ndarray]]] = None,
+        get_landmarks: Optional[Callable[[], Tuple]] = None,
     ):
         self.cfg = cfg
         self.spec = spec
@@ -108,6 +118,9 @@ class ExplorationServer:
         self.get_robot_pose = get_robot_pose
         self.fi_oracle = fi_oracle
         self.get_kf_poses = get_kf_poses
+        # landmark map accessor for fisher_information_in_path: returns
+        # (lm_xy (L,2) world ground-plane, lm_info (L,), lm_valid (L,))
+        self.get_landmarks = get_landmarks
         # goal sharing with peer robots (multirobot_send_current_goal srv,
         # ExplorationBT.cpp:1375-1388): peers' active goals are treated like
         # blacklist circles so two robots never chase the same frontier
@@ -119,7 +132,7 @@ class ExplorationServer:
         self.lethal_overlay = jnp.zeros((spec.size, spec.size), bool)
         self.boundary_mask: Optional[jax.Array] = None  # E7 boundary polygon
         self.blacklist_xy: List[np.ndarray] = []     # blacklisted goal circles
-        self.trailing_poses: List[np.ndarray] = []   # last N robot poses
+        self.trailing_poses: List[np.ndarray] = []   # last N (x, y, yaw)
         self.state = ExplorationState.EXPLORING
         self.diag = ExplorationDiagnostics()
 
@@ -139,11 +152,21 @@ class ExplorationServer:
             self._boot_fwd_ticks = self._boot_spin_ticks = 0
         self._goal_xy: Optional[np.ndarray] = None
         self._goal_heading = 0.0
+        # published exploration plan (refineAndPublishPath equivalent):
+        # TSP-first-leg roadmap path, LOS-smoothed — the nav layer's
+        # roadmap-planner mode (E16) tracks this instead of replanning
+        self.published_path: Optional[np.ndarray] = None
+        self._bf_parent = None
+        self._bf_src = -1
         self._goal_sent_tick = -1
         self._goal_failures: Dict[Tuple[int, int], int] = {}
-        self._fi_drops: List[int] = []
         self._last_cleanup = 0.0
         self._recovery_ticks_left = 0
+        # FI retry ladder state (OptimizeFullPath BT node,
+        # ExplorationBT.cpp:517-668): consecutive UNSAFE ticks, exhaustive
+        # escalation flag, and the passed-only-via-exhaustive drop counter
+        self._fi_retries = 0
+        self._fi_drop_count = 0
         self._fi_exhaustive_retry = False
 
     # ------------------------------------------------------------------
@@ -215,7 +238,7 @@ class ExplorationServer:
 
         # -- roadmap upkeep --
         with self.log.scope("roadmap.update", MODULE):
-            self._update_roadmap(occ, robot_xy)
+            self._update_roadmap(occ, robot_xy, robot_yaw)
 
         # -- frontier search with radius growth (SearchForFrontiers) --
         with self.log.scope("frontier_search", MODULE):
@@ -244,6 +267,23 @@ class ExplorationServer:
                 iters=self.cfg.nav.wavefront_iters,
                 allow_unknown=True,
             )
+            # fisher_information_in_path per frontier (E4/E5, VERDICT #1):
+            # mean FOV landmark information along each approach segment
+            fcfg = self.cfg.fisher_information
+            path_fi = None
+            if (self.get_landmarks is not None and fcfg.enabled
+                    and fcfg.min_path_information > 0.0):
+                lm_xy, lm_info, lm_valid = self.get_landmarks()
+                path_fi = fisher.path_information(
+                    jnp.asarray(lm_xy, jnp.float32),
+                    jnp.asarray(lm_info, jnp.float32),
+                    jnp.asarray(lm_valid),
+                    jnp.asarray(robot_xy, jnp.float32),
+                    fr.goal_xy, fr.valid,
+                    num_waypoints=fcfg.path_fi_waypoints,
+                    fov_half_angle=fcfg.fov_half_angle,
+                    max_range=fcfg.max_landmark_distance,
+                )
             costs = cx.assign_costs(
                 self.spec, occ, fr, self.roadmap.xy, self.roadmap.valid,
                 robot_dist, blacklisted,
@@ -252,11 +292,17 @@ class ExplorationServer:
                 v_max=self.cfg.cost_assigner.max_linear_velocity,
                 w_max=self.cfg.cost_assigner.max_angular_velocity,
                 grid_pot=pot,
+                path_fi=path_fi,
+                min_path_info=fcfg.min_path_information,
+                robot_xy=jnp.asarray(robot_xy, jnp.float32),
+                closeness_rejection=self.cfg.cost_calculator.closeness_rejection_m,
+                factor_of_max_info=self.cfg.cost_calculator.factor_of_max_info,
+                raycast_depth_m=self.cfg.cost_calculator.raycast_depth_m,
             )
 
         # -- full path optimization (TSP) --
         with self.log.scope("optimize_full_path", MODULE):
-            plan = self._optimize_path(costs, fr, blacklisted, robot_dist, robot_xy)
+            plan = self._optimize_path(costs, fr, blacklisted, robot_xy, occ)
         if plan is None or not bool(plan.has_goal):
             # no reachable goal: widen next tick; after repeated failure -> done
             self._search_radius = min(
@@ -269,12 +315,23 @@ class ExplorationServer:
         new_goal = np.asarray(fr.goal_xy[goal_i])
         new_heading = float(costs.best_heading[goal_i])
 
-        # -- Fisher-information safety gate (EvaluateFisherInformation) --
-        if not self._fi_gate(robot_xy, robot_yaw, occ):
+        # -- Fisher-information safety gate + retry ladder
+        #    (EvaluateFisherInformation + OptimizeFullPath, §3.3) --
+        if not self._fi_gate(robot_xy, robot_yaw, new_goal):
             return self.state
 
         # -- goal hysteresis (released once the previous goal is reached) --
         if self.nav.status() == GoalStatus.DONE and self._goal_xy is not None:
+            # CheckIfGoalMapped complement: the goal was REACHED but its cell
+            # is still unknown — it sits inside the sensor's blind radius and
+            # can never be mapped from its own location; blacklist it so the
+            # tick loop doesn't livelock re-dispatching it
+            cell_occ = int(np.asarray(raycast._sample_occ(
+                self.spec, occ,
+                jnp.asarray(self._goal_xy, jnp.float32)[None, :]))[0])
+            if cell_occ == UNKNOWN:
+                self.blacklist_xy.append(np.asarray(self._goal_xy))
+                self.diag.blacklisted += 1
             self._goal_xy = None
         goal, _ = cx.goal_hysteresis(
             self._goal_xy, new_goal, self._goal_xy is not None, True, robot_xy,
@@ -283,7 +340,10 @@ class ExplorationServer:
         )
         goal = np.asarray(goal)
 
-        # -- dispatch / monitor --
+        # -- publish the refined plan + dispatch / monitor --
+        self.published_path = self._build_published_path(goal, occ, robot_xy)
+        if self.published_path is not None and hasattr(self.nav, "set_path"):
+            self.nav.set_path(self.published_path)
         self._send_or_monitor(goal, new_heading, occ, robot_xy)
         return self.state
 
@@ -304,16 +364,18 @@ class ExplorationServer:
             boundary=self.boundary_mask,
         )
 
-    def _update_roadmap(self, occ, robot_xy):
+    def _update_roadmap(self, occ, robot_xy, robot_yaw=0.0):
         rcfg = self.cfg.roadmap
         kf_T_cw, n_kf = self._kf_poses()
-        # robot pose as node + trailing deque (reference :264-277)
+        # robot pose as node + trailing deque (reference :264-277); trailing
+        # poses keep their heading for the isPathSafe FOV-overlap test
         cand = jnp.asarray(robot_xy, jnp.float32)[None, :]
         self.roadmap = rmx.add_nodes(
             self.roadmap, cand, jnp.ones((1,), bool), jnp.zeros((1,), bool),
             kf_T_cw, n_kf, rcfg.min_node_separation,
         )
-        self.trailing_poses.append(np.asarray(robot_xy))
+        self.trailing_poses.append(
+            np.array([robot_xy[0], robot_xy[1], robot_yaw], np.float64))
         if len(self.trailing_poses) > rcfg.trailing_pose_count:
             self.trailing_poses.pop(0)
 
@@ -358,8 +420,25 @@ class ExplorationServer:
         d = jnp.linalg.norm(fr.goal_xy[:, None, :] - bl[None, :, :], axis=-1)
         return jnp.any(d < self.cfg.path_optimizer.blacklist_radius_m, axis=1)
 
-    def _optimize_path(self, costs, fr, blacklisted, robot_dist, robot_xy):
+    def _optimize_path(self, costs, fr, blacklisted, robot_xy, occ):
+        # frontier nodes join the roadmap AND get edges before the TSP prices
+        # legs over them (reference addNodes -> constructNewEdges,
+        # FrontierRoadmap.cpp:185-345); node snaps are then refreshed so TSP
+        # legs route through the just-connected nodes instead of stale ones
         self.add_frontier_nodes(fr)
+        rcfg = self.cfg.roadmap
+        self.roadmap = rmx.connect_edges(
+            self.roadmap, self.spec, occ,
+            rcfg.max_edge_length, rcfg.max_unknown_fraction,
+        )
+        d_nodes = jnp.linalg.norm(
+            fr.goal_xy[:, None, :] - self.roadmap.xy[None, :, :], axis=-1
+        )
+        d_nodes = jnp.where(self.roadmap.valid[None, :], d_nodes, rmx.INF)
+        costs = costs._replace(node_idx=jnp.argmin(d_nodes, axis=1).astype(jnp.int32))
+        robot_dist, self._bf_parent, self._bf_src = rmx.shortest_paths(
+            self.roadmap, jnp.asarray(robot_xy, jnp.float32)
+        )
         sel, sel_valid, g_idx = cx.select_locals(
             costs, fr, blacklisted, self.cfg.path_optimizer.local_path_threshold_m
         )
@@ -385,46 +464,123 @@ class ExplorationServer:
             )
         return plan
 
+    def _build_published_path(self, goal_xy, occ, robot_xy) -> Optional[np.ndarray]:
+        """The exploration-published plan (refineAndPublishPath,
+        FullPathOptimizer.cpp:663-702): roadmap shortest path robot -> goal,
+        LOS-shortcut smoothed (the vendored ThetaStar's role, E12). The nav
+        layer's roadmap-planner mode (E16, roadmap_planner_plugin.cpp:1-80)
+        replays this instead of planning its own path."""
+        if self._bf_parent is None:
+            return None
+        goal_node = int(rmx.nearest_node(
+            self.roadmap, jnp.asarray(goal_xy, jnp.float32)))
+        nodes = rmx.extract_path(
+            self.roadmap, self._bf_parent, int(self._bf_src), goal_node)
+        xy = np.asarray(self.roadmap.xy)
+        pts = [np.asarray(robot_xy, np.float64)]
+        pts += [xy[i] for i in nodes]
+        pts.append(np.asarray(goal_xy, np.float64))
+        W = 32
+        pts = np.asarray(pts[:W], np.float32)
+        wp = np.zeros((W, 2), np.float32)
+        wp[: len(pts)] = pts
+        wv = np.zeros((W,), bool)
+        wv[: len(pts)] = True
+        keep = np.asarray(rmx.refine_path_los(
+            self.spec, occ, jnp.asarray(wp), jnp.asarray(wv)))
+        return wp[keep]
+
     # ------------------------------------------------------------------
     # Fisher-information retry ladder (§3.3)
     # ------------------------------------------------------------------
 
-    def _fi_gate(self, robot_xy, robot_yaw, occ) -> bool:
+    def _path_safety(self, robot_xy, goal_xy) -> PathSafety:
+        """isPathSafe (FullPathOptimizer.cpp:308-340): when the heading of the
+        robot->goal segment FOV-overlaps any trailing robot pose heading,
+        check the pose-pair Fisher information; with no overlap the safety is
+        UNDETERMINED (no prior viewpoint covers this direction)."""
+        fcfg = self.cfg.fisher_information
+        d = np.asarray(goal_xy, np.float64) - np.asarray(robot_xy, np.float64)
+        if float(np.linalg.norm(d)) < 1e-6:
+            return PathSafety.UNDETERMINED
+        heading = math.atan2(d[1], d[0])
+        overlap = any(
+            abs((heading - float(p[2]) + math.pi) % (2 * math.pi) - math.pi)
+            < fcfg.angle_fov_overlap_rad
+            for p in self.trailing_poses if len(p) >= 3
+        )
+        if not overlap:
+            return PathSafety.UNDETERMINED
+        # pose-pair check: the robot pose oriented toward the goal
+        # (reference isPoseSafe(path[0], path[1], exhaustive))
+        info = self.fi_oracle(robot_xy, heading, self._fi_exhaustive_retry)
+        return PathSafety.SAFE if info > fcfg.threshold else PathSafety.UNSAFE
+
+    def _fi_gate(self, robot_xy, robot_yaw, goal_xy) -> bool:
+        """FI gate + retry ladder. Reference semantics (OptimizeFullPath,
+        ExplorationBT.cpp:517-668): fi_drop_count at limit forces a blacklist;
+        UNSAFE increments retries; retries at number_retries-1 escalate to
+        exhaustive landmark search; retries at number_retries blacklist the
+        pose ahead, mark the lethal FOV wedge, and trigger recovery; a pass
+        that needed exhaustive search increments fi_drop_count (oscillation
+        pattern detector)."""
         if self.fi_oracle is None or not self.cfg.fisher_information.enabled:
             return True
-        info = self.fi_oracle(robot_xy, robot_yaw, self._fi_exhaustive_retry)
-        threshold = self.cfg.fisher_information.threshold
-        if info > threshold:
-            self._fi_exhaustive_retry = False
-            return True
+        fcfg = self.cfg.fisher_information
+        force_blacklist = (
+            self._fi_drop_count >= self.cfg.exploration_bt.fi_drop_limit
+        )
+        if not force_blacklist:
+            info = self.fi_oracle(robot_xy, robot_yaw, self._fi_exhaustive_retry)
+            unsafe = info <= fcfg.threshold
+            if not unsafe and fcfg.check_path_safety:
+                # path-level check on the segment about to be driven
+                unsafe = (
+                    self._path_safety(robot_xy, goal_xy) == PathSafety.UNSAFE
+                )
+            if not unsafe:
+                if self._fi_exhaustive_retry:
+                    # only passed via exhaustive search: count the drop
+                    # (ExplorationBT.cpp:560-566)
+                    self._fi_drop_count += 1
+                    logx.warn(
+                        f"FI gate passed via exhaustive search "
+                        f"(fi_drop_count={self._fi_drop_count})"
+                    )
+                else:
+                    self._fi_drop_count = 0
+                self._fi_retries = 0
+                self._fi_exhaustive_retry = False
+                return True
+            logx.warn(f"FI gate: info {info:.1f} <= {fcfg.threshold} at {robot_xy}")
+        else:
+            logx.warn("FI oscillation pattern found — forcing blacklist "
+                      "(fi_drop_count limit)")
 
         self.diag.fi_rejections += 1
-        logx.warn(f"FI gate: info {info:.1f} < {threshold} at {robot_xy}")
         self.nav.cancel()
-        if not self._fi_exhaustive_retry:
-            # rung 1: retry with exhaustive landmark search
+        self._fi_retries += 1
+        if self._fi_retries >= fcfg.number_retries - 1:
+            # escalate: next attempt searches landmarks exhaustively
             self._fi_exhaustive_retry = True
-            return False
-        # rung 2: blacklist ahead + mark lethal FOV wedge + recovery
-        self._fi_exhaustive_retry = False
-        look = self.cfg.fisher_information.blacklist_lookahead_m
-        ahead = np.asarray(robot_xy) + look * np.array(
-            [math.cos(robot_yaw), math.sin(robot_yaw)]
-        )
-        self.blacklist_xy.append(ahead)
-        self.diag.blacklisted += 1
-        self.lethal_overlay = navx.mark_lethal_wedge(
-            self.spec, self.lethal_overlay, jnp.asarray(robot_xy, jnp.float32),
-            jnp.float32(robot_yaw),
-            apex_angle_rad=math.radians(self.cfg.fisher_information.lethal_wedge_apex_deg),
-            height_m=self.cfg.fisher_information.lethal_wedge_height_m,
-        )
-        # fi_drop oscillation detector (ExplorationBT fi_drop_count)
-        self._fi_drops.append(self.diag.ticks)
-        w = self.cfg.exploration_bt.fi_drop_window
-        recent = [t for t in self._fi_drops if self.diag.ticks - t < w * 10]
-        self._fi_drops = recent
-        self._start_recovery()
+        if force_blacklist or self._fi_retries >= fcfg.number_retries:
+            # final rung: blacklist ahead + mark lethal FOV wedge + recovery
+            self._fi_retries = 0
+            self._fi_drop_count = 0
+            self._fi_exhaustive_retry = False
+            look = fcfg.blacklist_lookahead_m
+            ahead = np.asarray(robot_xy) + look * np.array(
+                [math.cos(robot_yaw), math.sin(robot_yaw)]
+            )
+            self.blacklist_xy.append(ahead)
+            self.diag.blacklisted += 1
+            self.lethal_overlay = navx.mark_lethal_wedge(
+                self.spec, self.lethal_overlay,
+                jnp.asarray(robot_xy, jnp.float32), jnp.float32(robot_yaw),
+                apex_angle_rad=math.radians(fcfg.lethal_wedge_apex_deg),
+                height_m=fcfg.lethal_wedge_height_m,
+            )
+            self._start_recovery()
         return False
 
     def _start_recovery(self):

@@ -7,7 +7,7 @@ upstream `robot_localization` and `twist_mux` packages):
   standard 15-dim omnidirectional state
   [x y z, roll pitch yaw, vx vy vz, wx wy wz, ax ay az]:
   an odom-frame filter fusing wheel odometry twist (odom0_config picks vx, vy)
-  and IMU orientation/angular-rate (imu0_config picks roll/pitch/yaw rates),
+  and IMU absolute roll/pitch/yaw orientation plus angular rates (imu0_config),
   and a map-frame filter additionally fusing GPS fixes routed through a
   navsat transform. Per-sensor boolean config masks select fused state dims;
   `*_rejection_threshold` parameters gate updates by Mahalanobis distance;
@@ -72,9 +72,16 @@ class MeasurementBatch(NamedTuple):
     gate: jax.Array  # (T,) Mahalanobis threshold per row
 
 
-def initial_state(x0: Optional[jax.Array] = None, p0: float = 1e-9) -> EkfState:
+def initial_state(x0: Optional[jax.Array] = None, p0: float = 1e-9,
+                  p0_dynamic: float = 1.0) -> EkfState:
+    """Initial filter state. Pose dims start at `p0` (robot_localization's
+    1e-9 initial_estimate_covariance); velocity/rate/acceleration dims start
+    at `p0_dynamic` so the first Mahalanobis-gated measurement of a dim the
+    initial state says nothing about is accepted instead of rejected until
+    process noise inflates P."""
     x = jnp.zeros(STATE_DIM) if x0 is None else jnp.asarray(x0, jnp.float32)
-    return EkfState(x=x, P=jnp.eye(STATE_DIM) * p0)
+    diag = jnp.full((STATE_DIM,), p0).at[VX:].set(p0_dynamic)
+    return EkfState(x=x, P=jnp.diag(diag))
 
 
 def default_process_noise() -> jax.Array:
@@ -150,11 +157,12 @@ def ekf_update(
     innov = jnp.where(mask, innov, 0.0)
     Rd = jnp.where(mask, jnp.maximum(var, 1e-12), BIG_VAR)
     S = state.P + jnp.diag(Rd)
-    # Mahalanobis gate over the measured dims (imu0_*_rejection_threshold)
+    # Mahalanobis gate over the measured dims: squared distance vs nsigmas^2,
+    # exactly robot_localization's checkMahalanobisThreshold (no dimension
+    # scaling; *_rejection_threshold semantics)
     sol = jnp.linalg.solve(S, innov)
     m2 = innov @ sol
-    k = jnp.maximum(jnp.sum(mask), 1).astype(jnp.float32)
-    accepted = jnp.where(gate > 0.0, m2 <= gate * gate * k, True)
+    accepted = jnp.where(gate > 0.0, m2 <= gate * gate, True)
     K = jnp.linalg.solve(S.T, state.P.T).T  # P S^-1
     K = K * jnp.where(accepted, 1.0, 0.0)
     x = state.x + K @ innov
@@ -198,9 +206,9 @@ run_ekf_fleet = vjit(jax.vmap(_run_ekf, in_axes=(0, 0, None)))
 ODOM_MASK = np.zeros(STATE_DIM, np.bool_)
 ODOM_MASK[[VX, VY]] = True  # odom0_config: fuse vx, vy
 IMU_MASK = np.zeros(STATE_DIM, np.bool_)
-IMU_MASK[[WX, WY, WZ]] = True  # imu0_config: fuse angular rates
+IMU_MASK[[WX, WY, WZ]] = True  # imu0_config: angular-rate part
 IMU_ORI_MASK = np.zeros(STATE_DIM, np.bool_)
-IMU_ORI_MASK[[ROLL, PITCH, YAW]] = True
+IMU_ORI_MASK[[ROLL, PITCH, YAW]] = True  # imu0_config: absolute orientation part
 GPS_MASK = np.zeros(STATE_DIM, np.bool_)
 GPS_MASK[[X, Y, Z]] = True
 
@@ -216,7 +224,22 @@ def sensor_row(mask: np.ndarray, values: np.ndarray, var: np.ndarray,
     return (np.float32(dt), z, mask.copy(), v, np.float32(gate))
 
 
-def pack_rows(rows) -> MeasurementBatch:
+def noop_row():
+    """A filler row that is an exact no-op: dt=0 (no prediction), mask all
+    false (zero Kalman gain), gate off."""
+    return (np.float32(0.0), np.zeros(STATE_DIM, np.float32),
+            np.zeros(STATE_DIM, np.bool_),
+            np.full(STATE_DIM, BIG_VAR, np.float32), np.float32(0.0))
+
+
+def pack_rows(rows, capacity: Optional[int] = None) -> MeasurementBatch:
+    """Stack rows into a batch, optionally padded with no-op rows to a fixed
+    `capacity` so every dispatch reuses one compiled shape (the repo's
+    fixed-shape design rule, ARCHITECTURE.md)."""
+    if capacity is not None:
+        if len(rows) > capacity:
+            raise ValueError(f"{len(rows)} rows > window capacity {capacity}")
+        rows = list(rows) + [noop_row()] * (capacity - len(rows))
     dt, z, mask, var, gate = (np.stack([r[i] for r in rows]) for i in range(5))
     return MeasurementBatch(
         dt=jnp.asarray(dt), z=jnp.asarray(z), mask=jnp.asarray(mask),
@@ -262,27 +285,47 @@ class DualEkf:
         self._map_rows.append(row)
 
     def add_imu(self, wx: float, wy: float, wz: float, dt: float,
-                var: float = 0.005, gate: float = 0.8):
+                roll: Optional[float] = None, pitch: float = 0.0,
+                yaw: float = 0.0, var: float = 0.005,
+                ori_var: float = 0.01, gate: float = 0.8):
+        """One IMU reading: angular rates, and — when `roll` is given —
+        absolute roll/pitch/yaw orientation, matching imu0_config which fuses
+        orientation in both filters (ekf_with_gps.yaml). Without the
+        orientation row yaw would be pure dead-reckoning from integrated
+        rates and drift unbounded."""
         row = sensor_row(IMU_MASK, np.array([wx, wy, wz]), np.full(3, var),
                          dt, gate)
         self._odom_rows.append(row)
         self._map_rows.append(row)
+        if roll is not None:
+            ori = sensor_row(IMU_ORI_MASK, np.array([roll, pitch, yaw]),
+                             np.full(3, ori_var), 0.0, gate)
+            self._odom_rows.append(ori)
+            self._map_rows.append(ori)
 
     def add_gps(self, lat: float, lon: float, alt: float, dt: float):
         enu = self.navsat.to_enu(lat, lon, alt)
         row = sensor_row(GPS_MASK, enu, np.full(3, self.gps_var), dt)
         self._map_rows.append(row)  # GPS only reaches the map-frame filter
 
+    #: fixed flush window so every run_ekf dispatch has one compiled shape
+    WINDOW_CAP = 64
+
+    def _flush_one(self, state: EkfState, rows: list) -> EkfState:
+        cap = self.WINDOW_CAP
+        for i in range(0, len(rows), cap):
+            state, _ = run_ekf(state, pack_rows(rows[i:i + cap], cap), self.Q)
+        return state
+
     def flush(self) -> Tuple[np.ndarray, np.ndarray]:
         """Fuse all buffered rows; returns (odom_pose, map_pose) as
-        [x, y, z, roll, pitch, yaw]."""
+        [x, y, z, roll, pitch, yaw]. Rows are padded to WINDOW_CAP-sized
+        chunks (no-op filler) so flush always dispatches compiled shapes."""
         if self._odom_rows:
-            self.odom_state, _ = run_ekf(
-                self.odom_state, pack_rows(self._odom_rows), self.Q)
+            self.odom_state = self._flush_one(self.odom_state, self._odom_rows)
             self._odom_rows.clear()
         if self._map_rows:
-            self.map_state, _ = run_ekf(
-                self.map_state, pack_rows(self._map_rows), self.Q)
+            self.map_state = self._flush_one(self.map_state, self._map_rows)
             self._map_rows.clear()
         o = np.asarray(self.odom_state.x[:6])
         m = np.asarray(self.map_state.x[:6])

@@ -159,6 +159,13 @@ class LoopCloser:
             )
             slam.state = slam.state._replace(map_id=jnp.int32(lo))
             merged = (hi, lo)
+        # --- global BA: re-optimize every pose AND landmark against all
+        # observations from the pose-graph-corrected initialization (the
+        # reference's GBA stage of the loop-closing thread, SURVEY.md §3.4)
+        gba_chi2 = None
+        if cfg.run_global_ba:
+            m, gba_stats = sm.global_ba(m, self.K, iters=cfg.gba_iters)
+            gba_chi2 = float(np.asarray(gba_stats.chi2)[-1])
         slam.map = m
         # rebase the tracker on the corrected keyframe pose
         T_cur = lie.SE3(m.kf_T_cw.R[j], m.kf_T_cw.t[j])
@@ -169,5 +176,6 @@ class LoopCloser:
             "score": score,
             "inliers": int(n_inl),
             "pgo_chi2": float(np.asarray(chis)[-1]),
+            "gba_chi2": gba_chi2,
             "merged_maps": merged,
         }

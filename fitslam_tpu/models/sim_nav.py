@@ -36,8 +36,10 @@ class SimNavInterface(NavInterface):
             rotate_to_heading=cfg.nav.rotate_to_heading,
         )
         self._goal: Optional[np.ndarray] = None
+        self._goal_heading = 0.0
         self._status = GoalStatus.NONE
         self._path: Optional[np.ndarray] = None
+        self._ext_path: Optional[np.ndarray] = None
         self._stuck_steps = 0
         self._replan_countdown = 0
 
@@ -45,6 +47,7 @@ class SimNavInterface(NavInterface):
 
     def send_goal(self, goal_xy, heading: float):
         self._goal = np.asarray(goal_xy, np.float64)
+        self._goal_heading = float(heading)
         self._status = GoalStatus.ACTIVE
         self._path = None
         self._stuck_steps = 0
@@ -53,7 +56,15 @@ class SimNavInterface(NavInterface):
     def cancel(self):
         self._goal = None
         self._path = None
+        self._ext_path = None
         self._status = GoalStatus.NONE
+
+    def set_path(self, path_xy: np.ndarray):
+        """Receive the exploration-published refined plan (the
+        `frontier_roadmap_nav2_plan` topic of the reference). Tracked
+        directly when cfg.nav.planner == "roadmap" (E16,
+        roadmap_planner_plugin.cpp:1-80)."""
+        self._ext_path = np.asarray(path_xy, np.float64)
 
     def status(self) -> GoalStatus:
         return self._status
@@ -67,7 +78,11 @@ class SimNavInterface(NavInterface):
         if self._status != GoalStatus.ACTIVE or self._goal is None:
             return
         occ = self.get_occupancy()
-        if self._path is None or self._replan_countdown <= 0:
+        if (self.cfg.nav.planner == "roadmap" and self._ext_path is not None
+                and len(self._ext_path) >= 2):
+            # roadmap-planner mode: follow the published exploration plan
+            self._path = np.asarray(self._ext_path)
+        elif self._path is None or self._replan_countdown <= 0:
             pot = navx.wavefront_potential(
                 self.spec, occ, jnp.asarray(self._goal, jnp.float32),
                 iters=self.cfg.nav.wavefront_iters,
@@ -90,9 +105,22 @@ class SimNavInterface(NavInterface):
                        (1.0 / self.cfg.nav.replan_rate_hz) / self.dt)
             )
         self._replan_countdown -= 1
+        if self._path is None:
+            return  # roadmap mode, no plan published yet
 
         v, w, reached = self.controller.command(self.robot.xy, self.robot.yaw, self._path)
         if reached or np.linalg.norm(self.robot.xy - self._goal) < self.cfg.nav.planner_tolerance_m:
+            # the goal is a POSE: rotate to the commanded arrival heading
+            # before reporting success (Nav2 navigate_to_pose semantics;
+            # the exploration server's best heading theta* points into the
+            # unknown so the camera maps the frontier on arrival)
+            if self.cfg.nav.rotate_to_heading:
+                dyaw = (self._goal_heading - self.robot.yaw + math.pi) % (2 * math.pi) - math.pi
+                if abs(dyaw) > 0.15:
+                    w_cap = getattr(self.controller, "max_omega", 1.0)
+                    w_cmd = math.copysign(min(w_cap, abs(dyaw) / self.dt), dyaw)
+                    self.robot.step(0.0, w_cmd, self.dt)
+                    return
             self._status = GoalStatus.DONE
             return
         before = self.robot.xy.copy()

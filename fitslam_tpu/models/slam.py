@@ -121,6 +121,7 @@ class StereoSlam:
             wide_radius=cfg.tracking.wide_radius_px,
             reinit_after_lost=cfg.tracking.reinit_after_lost,
             match_ratio=cfg.tracking.match_ratio,
+            ba_covis=cfg.mapping.covisibility_window,
         )
         self.outs_log.append(outs)
         self._initialized = True
@@ -166,6 +167,7 @@ class StereoSlam:
                 wide_radius=cfg.tracking.wide_radius_px,
                 reinit_after_lost=cfg.tracking.reinit_after_lost,
                 match_ratio=cfg.tracking.match_ratio,
+                ba_covis=cfg.mapping.covisibility_window,
             )
             n_inl = int(outs.n_inliers)
             was_kf = bool(outs.was_keyframe)

@@ -290,26 +290,144 @@ def gather_window_problem(
     return prob, start, w_idx
 
 
-@vjit(static_argnames=("window", "max_obs_local", "iters"))
+def landmarks_seen_by_kf(m: SlamMap, kf_idx) -> jax.Array:
+    """(L,) bool — landmarks with a valid observation from keyframe kf_idx."""
+    L = m.lm_valid.shape[0]
+    hit = m.obs_valid & (m.obs_kf == kf_idx)
+    mask = jnp.zeros((L,), bool).at[jnp.where(hit, m.obs_lm, L)].set(True, mode="drop")
+    return mask & m.lm_valid
+
+
+def gather_covis_problem(
+    m: SlamMap,
+    window: int,
+    max_obs_local: int,
+):
+    """Covisibility-window local BA problem: select the `window` keyframes
+    sharing the MOST landmarks with the newest keyframe (ORB-SLAM3's
+    covisible local window; SURVEY.md §2.1 S1) instead of the temporally
+    last ones — on a revisit, the co-observing keyframes are old, not recent.
+
+    Covisibility counts are one segment-sum over the observation table.
+    Returns (BAProblem, w_idx (window,) selected KF slots, kf_exists)."""
+    from fitslam_tpu.ops.ba import BAProblem
+
+    K_cap = m.kf_valid.shape[0]
+    c = jnp.maximum(m.n_kf - 1, 0)
+    lm_c = landmarks_seen_by_kf(m, c)
+    shared = m.obs_valid & lm_c[m.obs_lm]
+    counts = jax.ops.segment_sum(
+        shared.astype(jnp.int32), m.obs_kf, num_segments=K_cap
+    )
+    exists = m.kf_valid & (jnp.arange(K_cap) < m.n_kf)
+    counts = jnp.where(exists, counts, -1)
+    counts = counts.at[c].set(jnp.int32(2**30))  # current KF always selected
+    _, w_idx = jax.lax.top_k(counts, window)
+    w_idx = jnp.sort(w_idx).astype(jnp.int32)    # oldest selected = gauge
+    kf_exists = exists[w_idx]
+
+    inv = jnp.full((K_cap,), -1, jnp.int32).at[w_idx].set(
+        jnp.where(kf_exists, jnp.arange(window, dtype=jnp.int32), -1)
+    )
+    in_win = m.obs_valid & (inv[m.obs_kf] >= 0)
+    idx = jnp.nonzero(in_win, size=max_obs_local,
+                      fill_value=m.obs_valid.shape[0] - 1)[0]
+    sel_valid = in_win[idx]
+    obs = Observations(
+        kf=jnp.clip(inv[m.obs_kf[idx]], 0, window - 1),
+        lm=m.obs_lm[idx],
+        uvr=m.obs_uvr[idx],
+        sigma2=m.obs_sigma2[idx],
+        valid=sel_valid,
+    )
+    T_win = lie.SE3(m.kf_T_cw.R[w_idx], m.kf_T_cw.t[w_idx])
+    fixed_kf = jnp.logical_not(kf_exists) | (jnp.arange(window) == 0)
+    # landmarks anchored outside the covisible set stay fixed (the anchor to
+    # the rest of the map, mirroring ORB-SLAM3's fixed-KF fringe)
+    anchor_in = inv[m.lm_anchor_kf] >= 0
+    fixed_lm = jnp.logical_not(m.lm_valid) | jnp.logical_not(anchor_in)
+    prob = BAProblem(
+        T_cw=T_win, points=m.lm_pos, obs=obs,
+        fixed_kf=fixed_kf, fixed_lm=fixed_lm,
+    )
+    return prob, w_idx, kf_exists
+
+
+@vjit(static_argnames=("iters",))
+def global_ba(m: SlamMap, K: Intrinsics, iters: int = 8):
+    """Global bundle adjustment over the FULL map — every valid keyframe
+    (except KF 0, the gauge) and every valid landmark, against the whole
+    observation table.
+
+    Reference capability: ORB-SLAM3's LoopClosing thread runs global BA after
+    essential-graph optimization (submodule, SURVEY.md §2.1 S1, §3.4; build
+    evidence root_dir/build_packages.sh:5). Here it is the same Schur-
+    complement kernel as local BA with nothing windowed out.
+
+    Returns (map, BAStats)."""
+    from fitslam_tpu.ops import ba as ba_mod
+
+    K_cap = m.kf_valid.shape[0]
+    obs = Observations(
+        kf=m.obs_kf, lm=m.obs_lm, uvr=m.obs_uvr,
+        sigma2=m.obs_sigma2, valid=m.obs_valid,
+    )
+    fixed_kf = jnp.logical_not(m.kf_valid) | (jnp.arange(K_cap) == 0)
+    fixed_lm = jnp.logical_not(m.lm_valid)
+    prob = ba_mod.BAProblem(
+        T_cw=m.kf_T_cw, points=m.lm_pos, obs=obs,
+        fixed_kf=fixed_kf, fixed_lm=fixed_lm,
+    )
+    out, stats = ba_mod.bundle_adjust(K, prob, iters=iters, damping=1e-3)
+
+    keep = m.kf_valid[:, None]
+    m = m._replace(
+        kf_T_cw=lie.SE3(
+            jnp.where(keep[..., None], out.T_cw.R, m.kf_T_cw.R),
+            jnp.where(keep, out.T_cw.t, m.kf_T_cw.t),
+        ),
+        lm_pos=jnp.where(m.lm_valid[:, None], out.points, m.lm_pos),
+    )
+    # refresh anchor-frame landmark positions: every anchor may have moved
+    anchor_T = lie.SE3(m.kf_T_cw.R[m.lm_anchor_kf], m.kf_T_cw.t[m.lm_anchor_kf])
+    p_anchor = (anchor_T.R @ m.lm_pos[..., :, None])[..., 0] + anchor_T.t
+    m = m._replace(
+        lm_pos_anchor=jnp.where(m.lm_valid[:, None], p_anchor, m.lm_pos_anchor)
+    )
+    return m, stats
+
+
+@vjit(static_argnames=("window", "max_obs_local", "iters", "covis"))
 def local_ba(
     m: SlamMap,
     K: Intrinsics,
     window: int = 8,
     max_obs_local: int = 8192,
     iters: int = 5,
+    covis: bool = True,
 ) -> SlamMap:
-    """Local bundle adjustment over the last `window` keyframes.
+    """Local bundle adjustment over a keyframe window.
+
+    `covis=True` (default) selects the window by covisibility — the keyframes
+    sharing the most landmarks with the newest one, matching ORB-SLAM3's
+    LocalMapping::LocalBA over the covisibility graph; on a revisit these are
+    the OLD co-observing keyframes, not the most recent. `covis=False` keeps
+    the temporal last-`window` selection.
 
     Reference capability: ORB-SLAM3 LocalMapping::LocalBA (submodule; the
     'sharded Schur' north star of BASELINE.json maps this over devices).
     """
     from fitslam_tpu.ops import ba as ba_mod
 
-    prob, start, w_idx = gather_window_problem(m, window, max_obs_local)
+    if covis:
+        prob, w_idx, kf_exists = gather_covis_problem(m, window, max_obs_local)
+    else:
+        prob, start, w_idx = gather_window_problem(m, window, max_obs_local)
+        kf_exists = (w_idx < m.n_kf) & m.kf_valid[w_idx]
     out, _ = ba_mod.bundle_adjust(K, prob, iters=iters, damping=1e-3)
 
     # scatter optimized window poses back (only slots that actually exist)
-    exists = ((w_idx < m.n_kf) & m.kf_valid[w_idx])[:, None]
+    exists = kf_exists[:, None]
     R = m.kf_T_cw.R.at[w_idx].set(jnp.where(exists[..., None], out.T_cw.R, m.kf_T_cw.R[w_idx]))
     t = m.kf_T_cw.t.at[w_idx].set(jnp.where(exists, out.T_cw.t, m.kf_T_cw.t[w_idx]))
     pts = jnp.where(m.lm_valid[:, None], out.points, m.lm_pos)
@@ -317,10 +435,14 @@ def local_ba(
 
     # refresh anchor-frame positions for landmarks anchored inside the window
     # (their anchors just moved)
+    K_cap = m.kf_valid.shape[0]
+    inv = jnp.full((K_cap,), -1, jnp.int32).at[w_idx].set(
+        jnp.where(kf_exists, jnp.arange(window, dtype=jnp.int32), -1)
+    )
+    anchor_in = inv[m.lm_anchor_kf] >= 0
     anchor_T = lie.SE3(m.kf_T_cw.R[m.lm_anchor_kf], m.kf_T_cw.t[m.lm_anchor_kf])
     p_anchor = (anchor_T.R @ m.lm_pos[..., :, None])[..., 0] + anchor_T.t
-    in_win = m.lm_anchor_kf >= start
     m = m._replace(
-        lm_pos_anchor=jnp.where((m.lm_valid & in_win)[:, None], p_anchor, m.lm_pos_anchor)
+        lm_pos_anchor=jnp.where((m.lm_valid & anchor_in)[:, None], p_anchor, m.lm_pos_anchor)
     )
     return m

@@ -50,7 +50,7 @@ def _backend_body(
     search_radius, match_max_hamming, min_inliers, width, height, pose_iters,
     kf_min_interval, kf_translation, kf_rotation, kf_min_tracked_ratio,
     scale_factor, ba_window, ba_max_obs, ba_iters, cull_min_obs,
-    wide_radius=96.0, reinit_after_lost=6, match_ratio=0.8,
+    wide_radius=96.0, reinit_after_lost=6, match_ratio=0.8, ba_covis=True,
 ) -> Tuple[sm.SlamMap, tr.TrackState, StepOutputs]:
     num_features = frame.feats.capacity
 
@@ -98,7 +98,7 @@ def _backend_body(
             frame_id, sig, scale_factor=scale_factor, map_id=new_map_id,
         )
         m3 = sm.local_ba(m2, K, window=ba_window, max_obs_local=ba_max_obs,
-                         iters=ba_iters)
+                         iters=ba_iters, covis=ba_covis)
         m4 = sm.cull_landmarks(m3, min_obs=cull_min_obs)
         kf_idx = m2.n_kf - 1
         state3 = tr.rebase_to_kf(state2, m4.kf_T_cw.R, m4.kf_T_cw.t, kf_idx)
@@ -129,6 +129,6 @@ slam_backend_step = vjit(
         "height", "pose_iters", "kf_min_interval", "kf_translation",
         "kf_rotation", "kf_min_tracked_ratio", "scale_factor",
         "ba_window", "ba_max_obs", "ba_iters", "cull_min_obs",
-        "wide_radius", "reinit_after_lost", "match_ratio",
+        "wide_radius", "reinit_after_lost", "match_ratio", "ba_covis",
     ),
 )

@@ -138,6 +138,42 @@ def frontier_pair_information(
     return jnp.sum(jnp.where(inside, info[None, :], 0.0), axis=-1)
 
 
+@vjit(static_argnames=("num_waypoints",))
+def path_information(
+    points_xy: jax.Array,      # (L, 2) landmark ground-plane positions (world)
+    info: jax.Array,           # (L,) per-landmark information
+    valid: jax.Array,          # (L,) bool
+    robot_xy: jax.Array,       # (2,)
+    goal_xy: jax.Array,        # (F, 2) candidate frontier goals
+    goal_valid: jax.Array,     # (F,) bool
+    num_waypoints: int = 6,
+    fov_half_angle: float = 0.52,
+    max_range: float = 14.0,
+) -> jax.Array:
+    """Per-frontier `fisher_information_in_path`: mean FOV-triangle landmark
+    information over waypoints along the robot->frontier segment, each
+    waypoint looking toward the next.
+
+    Reference: the path-FI accumulation in setPlanForFrontier — every ~10th
+    path cell computes computeInformationForPose toward the next waypoint and
+    the sum is normalized by waypoint count (CostCalculator.cpp:330-389,
+    `Frontier::setFisherInformation`). The dense grid plan is replaced by a
+    fixed number of straight-segment waypoints so the whole (F x S x L)
+    evaluation is one batched kernel."""
+    F = goal_xy.shape[0]
+    ts = jnp.linspace(0.0, 1.0, num_waypoints)
+    wp = robot_xy[None, None, :] + ts[None, :, None] * (
+        goal_xy[:, None, :] - robot_xy[None, None, :]
+    )                                                    # (F, S, 2)
+    pose = wp[:, :-1, :].reshape(-1, 2)
+    tgt = wp[:, 1:, :].reshape(-1, 2)
+    seg = frontier_pair_information(
+        points_xy, info, valid, pose, tgt,
+        fov_half_angle=fov_half_angle, max_range=max_range,
+    ).reshape(F, num_waypoints - 1)
+    return jnp.where(goal_valid, jnp.mean(seg, axis=1), 0.0)
+
+
 def generate_lookup_table(
     x_range: Tuple[float, float] = (0.0, 21.0),
     yz_half: float = 14.722,   # 8.5 * sqrt(3)

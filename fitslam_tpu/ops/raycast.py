@@ -34,7 +34,7 @@ def _sample_occ(spec: GridSpec2D, occ: jax.Array, xy: jax.Array) -> jax.Array:
     return jnp.where(ok, vals, jnp.uint8(LETHAL))
 
 
-@vjit(static_argnames=("spec", "n_rays", "n_steps"))
+@vjit(static_argnames=("spec", "n_rays", "n_steps", "fov_rad"))
 def arrival_information(
     spec: GridSpec2D,
     occ: jax.Array,           # (G, G) occupancy

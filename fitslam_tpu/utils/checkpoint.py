@@ -154,7 +154,7 @@ def save_active_system(path: str, system) -> None:
             "blacklist": np.stack(ex.blacklist_xy)
             if ex.blacklist_xy else np.zeros((0, 2)),
             "trailing": np.stack(ex.trailing_poses)
-            if ex.trailing_poses else np.zeros((0, 2)),
+            if ex.trailing_poses else np.zeros((0, 3)),
             "goal": np.asarray(ex._goal_xy)
             if ex._goal_xy is not None else np.zeros((0,)),
         },
@@ -172,6 +172,8 @@ def save_active_system(path: str, system) -> None:
         "goal_failures": {f"{k[0]},{k[1]}": v
                           for k, v in ex._goal_failures.items()},
         "fi_exhaustive_retry": ex._fi_exhaustive_retry,
+        "fi_retries": ex._fi_retries,
+        "fi_drop_count": ex._fi_drop_count,
         "recovery_ticks_left": ex._recovery_ticks_left,
         "has_anchor": system.T_anchor is not None,
     }
@@ -214,4 +216,6 @@ def load_active_system(path: str, system) -> None:
         for k, v in meta["goal_failures"].items()
     }
     ex._fi_exhaustive_retry = bool(meta["fi_exhaustive_retry"])
+    ex._fi_retries = int(meta.get("fi_retries", 0))
+    ex._fi_drop_count = int(meta.get("fi_drop_count", 0))
     ex._recovery_ticks_left = int(meta["recovery_ticks_left"])

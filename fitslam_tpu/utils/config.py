@@ -79,6 +79,9 @@ class MappingConfig:
     max_landmarks: int = 8192
     max_observations: int = 32768
     local_window: int = 8           # keyframes in local BA
+    # select the local-BA window by covisibility (shared-landmark count with
+    # the newest keyframe, ORB-SLAM3 LocalMapping) instead of recency
+    covisibility_window: bool = True
     ba_iters: int = 6
     ba_damping: float = 1e-4
     cull_min_observations: int = 2
@@ -94,7 +97,8 @@ class LoopConfig:
     min_gap_keyframes: int = 20
     min_matches: int = 24
     pgo_iters: int = 12
-    run_global_ba: bool = True
+    run_global_ba: bool = True      # GBA after PGO (loop-closing thread, §3.4)
+    gba_iters: int = 8
 
 
 @dataclass(frozen=True)
@@ -202,6 +206,23 @@ class FisherInformationConfig:
     lethal_wedge_apex_deg: float = 45.0
     lethal_wedge_height_m: float = 3.5
     blacklist_lookahead_m: float = 2.5
+    # FI retry ladder (OptimizeFullPath BT node, ExplorationBT.cpp:517-668):
+    # after number_retries-1 UNSAFE ticks the landmark search escalates to
+    # exhaustive; at number_retries the pose ahead is blacklisted + wedged
+    number_retries: int = 3
+    # isPathSafe (FullPathOptimizer.cpp:308-340): FOV-overlap angle between
+    # the robot->goal segment heading and trailing robot pose headings that
+    # triggers the pose-pair FI check (reference ctor value 6.6 rad, :21 —
+    # > pi, i.e. every trailing pose overlaps). Off by default, matching the
+    # reference's active code path where the getNextGoal isPathSafe call is
+    # commented out in favor of isRobotPoseSafe (FullPathOptimizer.cpp:600-603)
+    check_path_safety: bool = False
+    angle_fov_overlap_rad: float = 6.6
+    # fisher_information_in_path gate: frontiers whose straight approach path
+    # carries less mean FOV information than this are unachievable
+    # (CostCalculator.cpp:330-389 path-FI accumulation; 0 disables)
+    min_path_information: float = 0.0
+    path_fi_waypoints: int = 6
 
 
 @dataclass(frozen=True)
@@ -218,8 +239,10 @@ class ExplorationBTConfig:
     bootstrap_speed: float = 0.3
     bootstrap_spin_rate: float = 0.8    # rad/s; spin runs a full turn
     max_nav_failures_before_blacklist: int = 4
-    fi_drop_window: int = 6
-    fi_drop_limit: int = 3
+    # force a blacklist when the FI gate only passes via exhaustive search
+    # this many times in a row (fi_drop_count == 2 pattern detector,
+    # ExplorationBT.cpp:549-554)
+    fi_drop_limit: int = 2
     abort_on_nav_abort: bool = False
     replan_timeout_s: float = 6.0
 
@@ -238,6 +261,10 @@ class SensorSimulatorConfig:
 class NavConfig:
     """Nav2-equivalent planner/controller (SURVEY.md §2.4)."""
 
+    # "wavefront" = NavFn-equivalent potential planning (N2);
+    # "roadmap" = replay the exploration-published refined path (E16,
+    # PlannerSelector in active_slam_explore_to_pose.xml:10)
+    planner: str = "wavefront"
     planner_tolerance_m: float = 0.5
     allow_unknown: bool = True
     controller_rate_hz: float = 10.0

@@ -82,7 +82,10 @@ def active_run():
 
     gt_traj = []
     fi_values = []
-    for step in range(110):
+    # 150 frames: arrival now includes rotate-to-heading (the goal is a POSE,
+    # matching Nav2), which spends controller steps turning the camera into
+    # the unknown instead of translating
+    for step in range(150):
         cam = camera_pose_from_robot(robot.x, robot.y, robot.yaw)
         if step == 0:
             system.set_world_anchor(cam)

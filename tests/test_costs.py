@@ -28,11 +28,13 @@ def _setup():
     rm = rmx.connect_edges(rm, SPEC, occ_j, max_edge_length=1.5)
     robot_dist, parent, src = rmx.shortest_paths(rm, jnp.array([-8.0, 0.0]))
 
-    # frontiers: near the boundary (x ~ -0.3) at different y
+    # frontiers: on the free/unknown boundary (x ~ -0.15) at different y —
+    # real frontier cells sit on this edge, so their arrival sweep is nearly
+    # all unknown and clears the static achievability floor
     goal = np.zeros((F, 2), np.float32)
     valid = np.zeros((F,), bool)
     for i, y in enumerate([-2.0, 0.0, 2.0]):
-        goal[i] = [-0.4, y]
+        goal[i] = [-0.15, y]
         valid[i] = True
     fr = fx.Frontiers(
         uid=jnp.arange(F, dtype=jnp.int32),
@@ -89,6 +91,34 @@ def test_select_locals_and_tsp():
     order = np.asarray(plan.order)
     assert (order[:3] >= 0).all() and (order[3:] == -1).all()
     assert np.isfinite(float(plan.total_length))
+
+
+def test_achievability_floor_excludes_low_info():
+    """A frontier with arrival info below factor_of_max_info x max is
+    unachievable (reference CostCalculator.cpp:123-191)."""
+    occ, rm, robot_dist, fr = _setup()
+    # frontier 3: set back from the boundary inside the FREE half -> its
+    # 2 m raycast sees only a thin unknown slice, so its arrival information
+    # is positive but far below the boundary frontiers'
+    goal = np.array(fr.goal_xy)
+    goal[3] = [-1.8, 1.0]
+    fr = fr._replace(
+        goal_xy=jnp.asarray(goal),
+        centroid_xy=jnp.asarray(goal),
+        size=fr.size.at[3].set(10),
+        valid=fr.valid.at[3].set(True),
+    )
+    c = cx.assign_costs(SPEC, occ, fr, rm.xy, rm.valid, robot_dist,
+                        jnp.zeros((F,), bool))
+    info = np.asarray(c.arrival_info)
+    assert info[3] < 0.7 * info[:3].max()
+    assert not bool(c.achievable[3])
+    assert float(c.weighted_cost[3]) > 1e8
+    assert bool(np.asarray(c.achievable)[:3].all())
+    # the knob has effect: floor 0 re-admits the low-info frontier
+    c0 = cx.assign_costs(SPEC, occ, fr, rm.xy, rm.valid, robot_dist,
+                         jnp.zeros((F,), bool), factor_of_max_info=0.0)
+    assert bool(c0.achievable[3])
 
 
 def test_goal_hysteresis():

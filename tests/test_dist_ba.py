@@ -35,6 +35,42 @@ def test_matches_single_device(problem):
     assert err[1:].max() < 0.03
 
 
+def test_landmark_sharded_matches_single_device(problem):
+    """Map-block sharding (BASELINE.json north star): landmarks + coupling
+    tensor sharded; only pose-side reductions psum. Must agree with the
+    single-device solver on the SAME repacked problem."""
+    prob, T_gt, pts_gt = problem
+    n_dev = 8
+    packed = dist_ba.shard_problem_by_landmark(prob, n_dev)
+    m = mesh_mod.make_mesh(n_dev)
+    out_d, chis = dist_ba.landmark_sharded_bundle_adjust(m, K, packed, iters=6)
+    out_s, stats = ba.bundle_adjust(K, packed, iters=6, damping=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(chis)[1:], np.asarray(stats.chi2)[:-1], rtol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_d.T_cw.t), np.asarray(out_s.T_cw.t), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_d.points), np.asarray(out_s.points), atol=5e-3
+    )
+    err = np.linalg.norm(
+        np.asarray(lie.se3_log(lie.compose(out_d.T_cw, lie.inverse(T_gt)))), axis=-1
+    )
+    assert err[1:].max() < 0.03
+
+
+def test_shard_problem_routes_all_observations(problem):
+    prob, _, _ = problem
+    packed = dist_ba.shard_problem_by_landmark(prob, 8)
+    assert int(packed.obs.valid.sum()) == int(prob.obs.valid.sum())
+    Lb = prob.points.shape[0] // 8
+    lm = np.asarray(packed.obs.lm).reshape(8, -1)
+    ok = np.asarray(packed.obs.valid).reshape(8, -1)
+    for d in range(8):
+        assert (lm[d][ok[d]] // Lb == d).all()
+
+
 def test_mesh_sizes(problem):
     prob, T_gt, _ = problem
     for nd in (1, 2, 4):

@@ -83,6 +83,40 @@ def test_dual_ekf_gps_corrects_map_frame():
     assert abs(enu[0] - math.radians(9e-5) * loc.NavsatTransform.EARTH_R) < 1e-3
 
 
+def test_imu_orientation_bounds_yaw_drift():
+    """imu0_config fuses absolute roll/pitch/yaw (ekf_with_gps.yaml), so yaw
+    must track the IMU orientation instead of dead-reckoning biased rates."""
+    true_yaw = 0.9
+    # biased gyro says we are spinning; absolute orientation says we are not
+    biased_rate = 0.5
+
+    dual_ori = loc.DualEkf()
+    dual_rate_only = loc.DualEkf()
+    for _ in range(60):
+        dual_ori.add_imu(0.0, 0.0, biased_rate, dt=0.05,
+                         roll=0.0, pitch=0.0, yaw=true_yaw, gate=0.0)
+        dual_rate_only.add_imu(0.0, 0.0, biased_rate, dt=0.05, gate=0.0)
+    o_ori, _ = dual_ori.flush()
+    o_rate, _ = dual_rate_only.flush()
+    # with orientation rows, yaw locks to the measurement
+    assert abs(o_ori[5] - true_yaw) < 0.1
+    # without them, integrated biased rates walk away
+    assert abs(o_rate[5] - true_yaw) > 0.4
+
+
+def test_flush_pads_to_fixed_shape():
+    """DualEkf.flush dispatches fixed-capacity windows: padding rows are
+    exact no-ops and uneven buffers don't change the result."""
+    rows = [loc.sensor_row(loc.ODOM_MASK, np.array([0.5, 0.0]),
+                           np.array([1e-3, 1e-3]), 0.05) for _ in range(7)]
+    s0 = loc.initial_state()
+    Q = loc.default_process_noise()
+    plain, _ = loc.run_ekf(s0, loc.pack_rows(rows), Q)
+    padded, _ = loc.run_ekf(s0, loc.pack_rows(rows, capacity=64), Q)
+    np.testing.assert_allclose(np.asarray(padded.x), np.asarray(plain.x),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_twist_mux_priority_and_timeout():
     mux = loc.TwistMux()
     mux.push("navigation", 0.5, 0.1, now=0.0)

@@ -102,3 +102,17 @@ def test_loop_close_corrects_drift():
     assert err9 < 0.1, err9
     # tracker rebased
     np.testing.assert_allclose(np.asarray(slam.state.T_cw.t), np.asarray(T9.t), atol=1e-6)
+    # global BA ran after PGO (run_global_ba default True) and converged
+    assert info["gba_chi2"] is not None
+
+    # flag off: PGO-only correction, no GBA stage
+    cfg_off = dataclasses.replace(
+        cfg, loop=dataclasses.replace(cfg.loop, run_global_ba=False)
+    )
+    closer2 = lc.LoopCloser(cfg_off, K)
+    slam2 = SimpleNamespace(
+        map=m, last_frame=frame9,
+        state=tr.mark_keyframe(tr.init_track_state()._replace(T_cw=T_est), jnp.int32(0)),
+    )
+    info2 = closer2.on_keyframe(slam2, kf9)
+    assert info2 is not None and info2["gba_chi2"] is None

@@ -98,6 +98,161 @@ def test_reanchor_follows_keyframe_update():
     np.testing.assert_allclose(after - before, np.tile([[1.0, 0, 0]], (32, 1)), atol=1e-5)
 
 
+def _multiview_map(key, n_kf=6, n_lm=64, noise_pose=0.05, noise_lm=0.08):
+    """Ground-truth multi-view map, then perturbed poses (except KF0) and
+    landmark positions. Returns (perturbed map, gt poses, gt landmarks)."""
+    from fitslam_tpu.ops.geometry import project_stereo
+
+    kl, kp = jax.random.split(jax.random.PRNGKey(7))
+    pts_w = jax.random.uniform(kl, (n_lm, 3), minval=-2.5, maxval=2.5) + jnp.array([0.0, 0.0, 6.0])
+    m = sm.empty_map(n_kf + 2, n_lm * 2, n_kf * n_lm * 2)
+    gt_T = []
+    for k in range(n_kf):
+        T_k = lie.se3_exp(jnp.array([0.25 * k, 0.0, 0.0, 0.0, 0.02 * k, 0.0]))
+        gt_T.append(T_k)
+        p_c = (T_k.R @ pts_w[..., None])[..., 0] + T_k.t
+        uvr, ok = project_stereo(K, p_c)
+        feats = FrameFeatures(
+            xy=uvr[:, :2], response=jnp.ones((n_lm,)),
+            angle=jnp.zeros((n_lm,)), level=jnp.zeros((n_lm,), jnp.int32),
+            desc=jnp.zeros((n_lm, 256), jnp.bfloat16),
+            valid=ok & (p_c[..., 2] > 0.5),
+        )
+        lm_match = (-jnp.ones((n_lm,), jnp.int32) if k == 0
+                    else jnp.arange(n_lm, dtype=jnp.int32))
+        m = sm.insert_keyframe(m, K, T_k, feats, p_c[..., 2],
+                               lm_match, jnp.int32(k), jnp.zeros((256,)))
+    # perturb: intermediate/last poses + all landmark positions
+    keys = jax.random.split(kp, 2)
+    dx = jax.random.normal(keys[0], (n_kf + 2, 6)) * noise_pose
+    dx = dx.at[0].set(0.0)
+    T_noisy = lie.compose(lie.se3_exp(dx), m.kf_T_cw)
+    lm_noise = jax.random.normal(keys[1], (n_lm * 2, 3)) * noise_lm
+    m = m._replace(
+        kf_T_cw=lie.SE3(
+            jnp.where(m.kf_valid[:, None, None], T_noisy.R, m.kf_T_cw.R),
+            jnp.where(m.kf_valid[:, None], T_noisy.t, m.kf_T_cw.t),
+        ),
+        lm_pos=m.lm_pos + lm_noise * m.lm_valid[:, None],
+    )
+    return m, gt_T, pts_w
+
+
+def test_global_ba_recovers_structure():
+    """global_ba pulls noisy poses AND landmarks back to ground truth —
+    the correction reanchoring alone cannot do (reanchor moves landmarks
+    rigidly with their anchor; it cannot fix independent landmark noise).
+    Reference capability: GBA in the loop-closing thread (SURVEY.md §3.4)."""
+    m, gt_T, pts_w = _multiview_map(jax.random.PRNGKey(7))
+    n_lm = pts_w.shape[0]
+
+    def pose_err(mm):
+        errs = []
+        for k, T_gt in enumerate(gt_T):
+            T_k = lie.SE3(mm.kf_T_cw.R[k], mm.kf_T_cw.t[k])
+            errs.append(float(jnp.linalg.norm(
+                lie.se3_log(lie.compose(T_k, lie.inverse(T_gt))))))
+        return float(np.mean(errs))
+
+    def lm_rmse(mm):
+        d = np.asarray(mm.lm_pos[:n_lm]) - np.asarray(pts_w)
+        return float(np.sqrt((d ** 2).sum(-1).mean()))
+
+    e_pose0, e_lm0 = pose_err(m), lm_rmse(m)
+    m2, stats = sm.global_ba(m, K, iters=10)
+    e_pose1, e_lm1 = pose_err(m2), lm_rmse(m2)
+    chi2 = np.asarray(stats.chi2)
+    assert chi2[-1] < 0.05 * chi2[0], chi2
+    assert e_pose1 < 0.2 * e_pose0, (e_pose0, e_pose1)
+    assert e_lm1 < 0.2 * e_lm0, (e_lm0, e_lm1)
+    # gauge: KF0 untouched
+    np.testing.assert_allclose(np.asarray(m2.kf_T_cw.t[0]),
+                               np.asarray(m.kf_T_cw.t[0]), atol=1e-6)
+    # anchor-frame positions refreshed to match the new world positions
+    T_a = lie.SE3(m2.kf_T_cw.R[m2.lm_anchor_kf], m2.kf_T_cw.t[m2.lm_anchor_kf])
+    p_anchor = (T_a.R @ m2.lm_pos[..., :, None])[..., 0] + T_a.t
+    np.testing.assert_allclose(
+        np.asarray(p_anchor[:n_lm]), np.asarray(m2.lm_pos_anchor[:n_lm]),
+        atol=1e-4,
+    )
+
+
+def test_covisibility_window_beats_temporal_on_revisit():
+    """Revisit trajectory (VERDICT #8): the newest keyframe re-observes OLD
+    structure. A temporal last-N window holds those landmarks fixed (their
+    anchors are outside the window), so landmark noise persists; the
+    covisibility window selects the old co-observing keyframes and jointly
+    refines structure + pose (ORB-SLAM3 covisible LocalBA)."""
+    from fitslam_tpu.ops.geometry import project_stereo
+
+    key = jax.random.PRNGKey(11)
+    n_lm = 64
+    pts_a = jax.random.uniform(key, (n_lm, 3), minval=-2.5, maxval=2.5) + jnp.array([0.0, 0.0, 6.0])
+    m = sm.empty_map(12, 256, 4096)
+
+    def insert(m, T, pts, lm_match, fid):
+        p_c = (T.R @ pts[..., None])[..., 0] + T.t
+        uvr, ok = project_stereo(K, p_c)
+        feats = FrameFeatures(
+            xy=uvr[:, :2], response=jnp.ones((n_lm,)),
+            angle=jnp.zeros((n_lm,)), level=jnp.zeros((n_lm,), jnp.int32),
+            desc=jnp.zeros((n_lm, 256), jnp.bfloat16),
+            valid=ok & (p_c[..., 2] > 0.5),
+        )
+        return sm.insert_keyframe(m, K, T, feats, p_c[..., 2], lm_match,
+                                  jnp.int32(fid), jnp.zeros((256,)))
+
+    # KFs 0-3 observe field A near the origin
+    for k in range(4):
+        T_k = lie.se3_exp(jnp.array([0.25 * k, 0, 0, 0, 0, 0]))
+        match = (-jnp.ones((n_lm,), jnp.int32) if k == 0
+                 else jnp.arange(n_lm, dtype=jnp.int32))
+        m = insert(m, T_k, pts_a, match, k)
+    # KFs 4-7 observe a DIFFERENT field far away (field B spawns fresh lms)
+    pts_b = pts_a + jnp.array([100.0, 0.0, 0.0])
+    for k in range(4, 8):
+        T_k = lie.compose(lie.se3_exp(jnp.array([0.25 * k, 0, 0, 0, 0, 0])),
+                          lie.se3_exp(jnp.array([-100.0, 0, 0, 0, 0, 0])))
+        match = (-jnp.ones((n_lm,), jnp.int32) if k == 4
+                 else (jnp.arange(n_lm, dtype=jnp.int32) + n_lm))
+        m = insert(m, T_k, pts_b, match, k)
+    # KF 8 revisits field A
+    T8 = lie.se3_exp(jnp.array([0.1, 0.05, 0, 0, 0, 0]))
+    m = insert(m, T8, pts_a, jnp.arange(n_lm, dtype=jnp.int32), 8)
+
+    # perturb: field-A landmarks + the revisit pose
+    k1, k2 = jax.random.split(jax.random.PRNGKey(12))
+    lm_noise = jax.random.normal(k1, (n_lm, 3)) * 0.08
+    m_noisy = m._replace(lm_pos=m.lm_pos.at[:n_lm].add(lm_noise))
+    d8 = jax.random.normal(k2, (6,)) * 0.05
+    T8n = lie.compose(lie.se3_exp(d8), T8)
+    m_noisy = m_noisy._replace(
+        kf_T_cw=lie.SE3(m_noisy.kf_T_cw.R.at[8].set(T8n.R),
+                        m_noisy.kf_T_cw.t.at[8].set(T8n.t)),
+    )
+
+    def metrics(mm):
+        d = np.asarray(mm.lm_pos[:n_lm]) - np.asarray(pts_a)
+        rmse = float(np.sqrt((d ** 2).sum(-1).mean()))
+        T = lie.SE3(mm.kf_T_cw.R[8], mm.kf_T_cw.t[8])
+        perr = float(jnp.linalg.norm(lie.se3_log(lie.compose(T, lie.inverse(T8)))))
+        return rmse, perr
+
+    m_temporal = sm.local_ba(m_noisy, K, window=4, max_obs_local=2048,
+                             iters=12, covis=False)
+    m_covis = sm.local_ba(m_noisy, K, window=4, max_obs_local=2048,
+                          iters=12, covis=True)
+    rmse0, perr0 = metrics(m_noisy)
+    rmse_t, perr_t = metrics(m_temporal)
+    rmse_c, perr_c = metrics(m_covis)
+    # temporal window cannot touch field-A landmarks (anchored at KF0)
+    assert abs(rmse_t - rmse0) < 1e-5
+    # covisibility window refines them and the revisit pose
+    assert rmse_c < 0.55 * rmse0, (rmse0, rmse_c)
+    assert perr_c < perr_t, (perr_c, perr_t)
+    assert perr_c < 0.5 * perr0, (perr0, perr_c)
+
+
 def test_cull_landmarks():
     m = sm.empty_map(8, 64, 256)
     f = _feats(jax.random.PRNGKey(4), n=32)
