@@ -33,6 +33,9 @@ def main():
                          "CSV, rendered world PPMs (RosVisualizer parity)")
     ap.add_argument("--bootstrap", action="store_true",
                     help="run the InitializationSequence wiggle first")
+    ap.add_argument("--ekf", action="store_true",
+                    help="enable the dual-EKF + twist-mux state-estimation "
+                         "layer (ekf_with_gps.yaml / twist_mux.yaml parity)")
     args = ap.parse_args()
 
     import jax
@@ -81,6 +84,7 @@ def main():
                                                threshold=5.0),
         exploration_bt=dataclasses.replace(cfg.exploration_bt,
                                            bootstrap_enabled=args.bootstrap),
+        localization=dataclasses.replace(cfg.localization, enabled=args.ekf),
     )
     K = Intrinsics.from_config(cfg.camera)
     occ_gt = simr.make_rooms_world(SPEC, seed=args.seed)
@@ -90,7 +94,13 @@ def main():
     )
     robot = simr.DiffDriveRobot(x=-5.0, y=-5.0, yaw=0.3, v_max=0.8, w_max=1.0)
     box = {}
-    nav = SimNavInterface(cfg, SPEC, robot, lambda: box["s"].occupancy(), dt=0.15)
+    from fitslam_tpu.models.localization import TwistMux
+
+    nav = SimNavInterface(
+        cfg, SPEC, robot, lambda: box["s"].occupancy(), dt=0.15,
+        get_overlay=lambda: box["s"].explorer.lethal_overlay,
+        twist_mux=TwistMux() if args.ekf else None,
+    )
     nav.controller.max_omega = 0.9
     system = ActiveSlamSystem(cfg, SPEC, nav,
                               get_robot_pose=lambda: box["s"].estimated_robot_pose())

@@ -61,6 +61,24 @@ class ActiveSlamSystem:
         self.spec = spec
         self.log = event_logger or EventLogger(time_tier=MODULE)
         self.slam = StereoSlam(cfg, event_logger=self.log)
+
+        # state-estimation layer (N5, ekf_with_gps.yaml/twist_mux.yaml): the
+        # dual EKF fuses wheel-odometry twist + IMU rates (odom filter) and
+        # the SLAM pose as the absolute map-frame reference (GPS's role);
+        # when enabled its map-frame estimate IS the robot pose source
+        lcfg = cfg.localization
+        self.ekf = None
+        if lcfg.enabled:
+            from fitslam_tpu.models.localization import DualEkf
+
+            self.ekf = DualEkf()
+            self._ekf_dirty = False
+            self._slam_fuse_counter = 0
+            # auto-wire the nav layer's executed twists into the odometry
+            # input (wheel-encoder seam): SimNavInterface calls on_cmd after
+            # every robot step
+            if hasattr(nav, "on_cmd"):
+                nav.on_cmd = self.observe_odometry
         tcfg = cfg.traversability
         self.clouds = gridops.empty_cloud_buffer(tcfg.max_clouds, tcfg.max_points_per_cloud)
         self._occ = jnp.full((spec.size, spec.size), gridops.UNKNOWN, jnp.uint8)
@@ -100,8 +118,8 @@ class ActiveSlamSystem:
         T_cw_world = lie.compose(m.kf_T_cw, lie.inverse(self.T_anchor))
         return T_cw_world, m.n_kf
 
-    def estimated_robot_pose(self) -> Tuple[np.ndarray, float]:
-        """SLAM-estimated robot pose in the world frame (xy, yaw)."""
+    def _slam_pose_world(self) -> Tuple[np.ndarray, float]:
+        """Raw SLAM pose in the world frame (xy, yaw)."""
         T = self.slam.current_pose_wc  # slam frame
         if self.T_anchor is not None:
             T = lie.compose(self.T_anchor, T)
@@ -109,6 +127,66 @@ class ActiveSlamSystem:
         yaw = math.atan2(float(fwd[1]), float(fwd[0]))
         t = np.asarray(T.t)
         return t[:2], yaw
+
+    def estimated_robot_pose(self) -> Tuple[np.ndarray, float]:
+        """Robot pose in the world frame (xy, yaw): the EKF map-frame
+        estimate when the localization layer is enabled, else raw SLAM."""
+        if self.ekf is not None:
+            if self._ekf_dirty:
+                self.ekf.flush()
+                self._ekf_dirty = False
+            x = np.asarray(self.ekf.map_state.x)
+            from fitslam_tpu.models import localization as loc
+
+            return x[[loc.X, loc.Y]].astype(np.float64), float(x[loc.YAW])
+        return self._slam_pose_world()
+
+    # ------------------------------------------------------------------
+    # State-estimation inputs (N5)
+    # ------------------------------------------------------------------
+
+    def observe_odometry(self, v: float, omega: float, dt: float):
+        """Wheel-odometry twist + gyro rate into both EKF filters (the
+        odom0/imu0 topics of ekf_with_gps.yaml). Called automatically by the
+        nav layer after every executed command when EKF is enabled."""
+        if self.ekf is None or dt <= 0:
+            return
+        lcfg = self.cfg.localization
+        self.ekf.add_odom(v, 0.0, dt, var=lcfg.odom_var)
+        self.ekf.add_imu(0.0, 0.0, omega, 0.0, var=lcfg.imu_rate_var,
+                         gate=lcfg.imu_gate)
+        self._ekf_dirty = True
+
+    def observe_imu_orientation(self, roll: float, pitch: float, yaw: float):
+        """Absolute AHRS orientation (the imu0_config orientation rows)."""
+        if self.ekf is None:
+            return
+        lcfg = self.cfg.localization
+        self.ekf.add_imu(0.0, 0.0, 0.0, 0.0, roll=roll, pitch=pitch, yaw=yaw,
+                         var=lcfg.imu_rate_var, ori_var=lcfg.imu_ori_var,
+                         gate=lcfg.imu_gate)
+        self._ekf_dirty = True
+
+    def _fuse_slam_pose(self):
+        lcfg = self.cfg.localization
+        xy, yaw = self._slam_pose_world()
+        if self._slam_fuse_counter == 0:
+            # first fix: seed both filters at the SLAM pose (datum), exactly
+            # as navsat_transform seeds the map frame from the first GPS fix
+            from fitslam_tpu.models import localization as loc
+
+            x0 = np.zeros(loc.STATE_DIM, np.float32)
+            x0[[loc.X, loc.Y, loc.YAW]] = [xy[0], xy[1], yaw]
+            self.ekf.odom_state = loc.initial_state(x0)
+            self.ekf.map_state = loc.initial_state(x0)
+            self._slam_fuse_counter += 1
+            return
+        self._slam_fuse_counter += 1
+        if (self._slam_fuse_counter - 1) % max(1, lcfg.fuse_every_n_frames):
+            return
+        self.ekf.add_pose(float(xy[0]), float(xy[1]), yaw,
+                          var=lcfg.slam_pose_var, gate=lcfg.slam_pose_gate)
+        self._ekf_dirty = True
 
     # ------------------------------------------------------------------
     # SLAM + mapping
@@ -125,6 +203,11 @@ class ActiveSlamSystem:
         if info.get("loop"):
             # loop closure moved keyframes: re-stitch grid + roadmap
             self._grid_dirty = True
+        if self.ekf is not None and not info.get("lost"):
+            # fuse the SLAM pose into the map-frame filter; when tracking is
+            # lost the EKF dead-reckons on odometry alone (graceful
+            # degradation — the reference keeps publishing odom-frame TF)
+            self._fuse_slam_pose()
         return info
 
     def _on_keyframe(self, slam: StereoSlam, kf_idx: int):

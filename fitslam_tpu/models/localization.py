@@ -211,6 +211,8 @@ IMU_ORI_MASK = np.zeros(STATE_DIM, np.bool_)
 IMU_ORI_MASK[[ROLL, PITCH, YAW]] = True  # imu0_config: absolute orientation part
 GPS_MASK = np.zeros(STATE_DIM, np.bool_)
 GPS_MASK[[X, Y, Z]] = True
+POSE_MASK = np.zeros(STATE_DIM, np.bool_)
+POSE_MASK[[X, Y, YAW]] = True  # planar absolute pose (SLAM map->base)
 
 
 def sensor_row(mask: np.ndarray, values: np.ndarray, var: np.ndarray,
@@ -307,6 +309,18 @@ class DualEkf:
         enu = self.navsat.to_enu(lat, lon, alt)
         row = sensor_row(GPS_MASK, enu, np.full(3, self.gps_var), dt)
         self._map_rows.append(row)  # GPS only reaches the map-frame filter
+
+    def add_pose(self, x: float, y: float, yaw: float, dt: float = 0.0,
+                 var: float = 0.02, gate: float = 3.0):
+        """Planar absolute pose (the SLAM engine's map->base estimate) fused
+        into the MAP-frame filter only — the same role GPS plays in
+        ekf_with_gps.yaml: a jump-correcting absolute reference the odom
+        filter never sees, so the odom-frame estimate stays continuous. The
+        Mahalanobis gate rejects loop-closure-sized jumps from corrupting the
+        filter in one step (the *_rejection_threshold semantics)."""
+        row = sensor_row(POSE_MASK, np.array([x, y, yaw]),
+                         np.full(3, var), dt, gate)
+        self._map_rows.append(row)
 
     #: fixed flush window so every run_ekf dispatch has one compiled shape
     WINDOW_CAP = 64

@@ -95,11 +95,19 @@ def descend_potential(
     cell, _ = spec.world_to_cell(start_xy)
     start = jnp.array([cell[1], cell[0]])  # (row, col)
 
+    # diagonal steps travel sqrt(2) cells: charge the extra (sqrt2 - 1) * res
+    # against the 4-neighbor potential so descent doesn't cut corners the
+    # potential never priced (VERDICT r1 weak #8)
+    diag_extra = jnp.where(
+        jnp.abs(offs[:, 0]) + jnp.abs(offs[:, 1]) == 2,
+        (math.sqrt(2.0) - 1.0) * spec.resolution, 0.0,
+    )
+
     def body(carry, _):
         rc, done = carry
         cand = rc[None, :] + offs
         cand = jnp.clip(cand, 0, G - 1)
-        vals = pot[cand[:, 0], cand[:, 1]]
+        vals = pot[cand[:, 0], cand[:, 1]] + diag_extra
         best = jnp.argmin(vals)
         cur = pot[rc[0], rc[1]]
         improve = vals[best] < cur
@@ -184,3 +192,84 @@ def mark_lethal_wedge(
 def apply_overlay(occ: jax.Array, overlay: jax.Array) -> jax.Array:
     """Overlay lethal zones onto an occupancy grid (cost 253-equivalent)."""
     return jnp.where(overlay, jnp.uint8(LETHAL), occ)
+
+
+# ---------------------------------------------------------------------------
+# Costmap instances (N4): static source + inflation layer stack
+# ---------------------------------------------------------------------------
+
+
+class Costmap:
+    """One nav2-costmap-2d instance (SURVEY.md §2.4 N4): a static source
+    (the thresholded traversability grid) composed with an inflation layer,
+    an optional LethalMarker overlay (E15) with its own inflation pass, and
+    optional rolling-window extraction — the plugin stack of
+    active_slam_nav2_params.yaml:118-173 expressed as pure grid kernels.
+
+    `grid(robot_xy)` returns (occ, spec): the cost grid and the (possibly
+    rolling) spec it lives on. Layer outputs are memoized against the source
+    array identity so per-control-tick queries don't refuse the jit cache.
+    """
+
+    def __init__(self, spec: GridSpec2D, layer_cfg, get_static,
+                 get_overlay=None):
+        from fitslam_tpu.ops import grid as gridops
+
+        self.spec = spec
+        self.cfg = layer_cfg
+        self.get_static = get_static
+        self.get_overlay = get_overlay
+        self._ops = gridops
+        self._cache_key = None
+        self._cache_val = None
+
+    def _compose(self, occ: jax.Array) -> jax.Array:
+        g = self._ops
+        cfg = self.cfg
+        if cfg.lethal_marker and self.get_overlay is not None:
+            overlay = self.get_overlay()
+            if overlay is not None:
+                occ = apply_overlay(occ, overlay)
+                if cfg.lethal_inflation_radius_m > 0:
+                    occ = g.inflate_grid(
+                        occ, self.spec.resolution,
+                        inflation_radius_m=cfg.lethal_inflation_radius_m,
+                        cost_scaling_factor=cfg.cost_scaling_factor,
+                        inscribed_radius_m=cfg.inscribed_radius_m,
+                    )
+        if cfg.inflation_radius_m > 0:
+            occ = g.inflate_grid(
+                occ, self.spec.resolution,
+                inflation_radius_m=cfg.inflation_radius_m,
+                cost_scaling_factor=cfg.cost_scaling_factor,
+                inscribed_radius_m=cfg.inscribed_radius_m,
+            )
+        return occ
+
+    def grid(self, robot_xy=None) -> Tuple[jax.Array, GridSpec2D]:
+        g = self._ops
+        src = self.get_static()
+        key = (id(src), None if self.get_overlay is None
+               else id(self.get_overlay()))
+        if key == self._cache_key:
+            occ, spec = self._cache_val
+        else:
+            occ = self._compose(src)
+            spec = self.spec
+            if self.cfg.resample > 1:
+                occ = g.upsample_grid(occ, self.cfg.resample)
+                spec = GridSpec2D(spec.size * self.cfg.resample,
+                                  spec.resolution / self.cfg.resample,
+                                  spec.origin_x, spec.origin_y)
+            elif self.cfg.resample < -1:
+                k = -self.cfg.resample
+                occ = g.downsample_grid_max(occ, k)
+                spec = GridSpec2D(spec.size // k, spec.resolution * k,
+                                  spec.origin_x, spec.origin_y)
+            self._cache_key = key
+            self._cache_val = (occ, spec)
+        if self.cfg.rolling:
+            if robot_xy is None:
+                raise ValueError("rolling costmap needs robot_xy")
+            return g.rolling_window(spec, occ, robot_xy, self.cfg.size_m)
+        return occ, spec

@@ -24,12 +24,29 @@ from fitslam_tpu.utils.config import FitSlamConfig
 
 class SimNavInterface(NavInterface):
     def __init__(self, cfg: FitSlamConfig, spec: GridSpec2D, robot: DiffDriveRobot,
-                 get_occupancy: Callable[[], jax.Array], dt: float = 0.1):
+                 get_occupancy: Callable[[], jax.Array], dt: float = 0.1,
+                 get_overlay: Optional[Callable[[], jax.Array]] = None,
+                 twist_mux=None):
         self.cfg = cfg
         self.spec = spec
         self.robot = robot
         self.get_occupancy = get_occupancy
         self.dt = dt
+        # the reference's two nav2 costmap instances (N4): the planner plans
+        # on the global costmap (inflation 5.0 + LethalMarker + lethal
+        # inflation); the controller collision-checks against the rolling
+        # local costmap (10x10 m, inflation 0.6)
+        self.global_costmap = navx.Costmap(
+            spec, cfg.costmaps.global_map, get_occupancy, get_overlay)
+        self.local_costmap = navx.Costmap(
+            spec, cfg.costmaps.local, get_occupancy, get_overlay)
+        # optional command multiplexer (twist_mux.yaml, N5): every commanded
+        # twist is pushed as the "navigation" source; a higher-priority
+        # source (joystick/recovery) preempts it
+        self.twist_mux = twist_mux
+        # wheel-odometry seam: called with the EXECUTED (clipped) twist after
+        # every base step — ActiveSlamSystem wires this to its EKF input
+        self.on_cmd: Optional[Callable[[float, float, float], None]] = None
         self.controller = navx.PurePursuit(
             desired_speed=cfg.nav.desired_speed,
             lookahead=cfg.nav.lookahead_m,
@@ -69,27 +86,49 @@ class SimNavInterface(NavInterface):
     def status(self) -> GoalStatus:
         return self._status
 
-    def drive_open_loop(self, v: float, omega: float):
+    def drive_open_loop(self, v: float, omega: float, source: str = "navigation"):
+        self._apply_cmd(v, omega, source)
+
+    def _apply_cmd(self, v: float, omega: float, source: str = "navigation"):
+        """Route a commanded twist through the mux (when present) before it
+        reaches the base — the twist_mux seam of the reference (N5)."""
+        if self.twist_mux is not None:
+            self.twist_mux.push(source, v, omega)
+            v, omega = self.twist_mux.output()
         self.robot.step(v, omega, self.dt)
+        if self.on_cmd is not None:
+            self.on_cmd(*self.robot.last_twist)
+
+    def _local_blocked(self) -> bool:
+        """Collision check a short segment ahead against the rolling local
+        costmap (the controller-side costmap of N4)."""
+        occ_l, spec_l = self.local_costmap.grid(self.robot.xy)
+        probe = self.robot.xy + 0.4 * np.array(
+            [math.cos(self.robot.yaw), math.sin(self.robot.yaw)])
+        cell, ok = spec_l.world_to_cell(jnp.asarray(probe, jnp.float32))
+        if not bool(ok):
+            return False
+        c = int(np.asarray(occ_l[cell[1], cell[0]]))
+        return c >= navx.LETHAL and c != navx.UNKNOWN
 
     # -- control loop (called at controller rate by the simulation) --
 
     def step(self):
         if self._status != GoalStatus.ACTIVE or self._goal is None:
             return
-        occ = self.get_occupancy()
+        occ, plan_spec = self.global_costmap.grid()
         if (self.cfg.nav.planner == "roadmap" and self._ext_path is not None
                 and len(self._ext_path) >= 2):
             # roadmap-planner mode: follow the published exploration plan
             self._path = np.asarray(self._ext_path)
         elif self._path is None or self._replan_countdown <= 0:
             pot = navx.wavefront_potential(
-                self.spec, occ, jnp.asarray(self._goal, jnp.float32),
+                plan_spec, occ, jnp.asarray(self._goal, jnp.float32),
                 iters=self.cfg.nav.wavefront_iters,
                 allow_unknown=self.cfg.nav.allow_unknown,
             )
             path, ok = navx.descend_potential(
-                self.spec, pot, jnp.asarray(self.robot.xy, jnp.float32)
+                plan_spec, pot, jnp.asarray(self.robot.xy, jnp.float32)
             )
             pts = np.asarray(path)[np.asarray(ok)]
             if len(pts) == 0:
@@ -119,12 +158,22 @@ class SimNavInterface(NavInterface):
                 if abs(dyaw) > 0.15:
                     w_cap = getattr(self.controller, "max_omega", 1.0)
                     w_cmd = math.copysign(min(w_cap, abs(dyaw) / self.dt), dyaw)
-                    self.robot.step(0.0, w_cmd, self.dt)
+                    self._apply_cmd(0.0, w_cmd)
                     return
             self._status = GoalStatus.DONE
             return
+        # local-costmap collision gate: a lethal cell dead ahead (marked
+        # after the plan was drawn, e.g. a fresh FI wedge) stops forward
+        # motion and forces a replan instead of driving through it
+        if v > 0.0 and self._local_blocked():
+            self._path = None
+            self._replan_countdown = 0
+            self._stuck_steps += 1
+            if self._stuck_steps > 50:
+                self._status = GoalStatus.ABORTED
+            return
         before = self.robot.xy.copy()
-        self.robot.step(v, w, self.dt)
+        self._apply_cmd(v, w)
         if np.linalg.norm(self.robot.xy - before) < 1e-4 and abs(w) < 1e-3:
             self._stuck_steps += 1
             if self._stuck_steps > 50:

@@ -28,6 +28,9 @@ class DiffDriveRobot:
         self.x, self.y, self.yaw = float(x), float(y), float(yaw)
         self.v_max, self.w_max = v_max, w_max
         self.trajectory = [(self.x, self.y, self.yaw)]
+        # last executed twist (after clipping) — what a wheel encoder would
+        # integrate; the EKF layer's odometry source
+        self.last_twist: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 
     @property
     def xy(self) -> np.ndarray:
@@ -40,6 +43,7 @@ class DiffDriveRobot:
         self.y += v * math.sin(self.yaw) * dt
         self.yaw = (self.yaw + omega * dt + math.pi) % (2 * math.pi) - math.pi
         self.trajectory.append((self.x, self.y, self.yaw))
+        self.last_twist = (v, omega, dt)
 
 
 @vjit(static_argnames=("spec", "n_rays", "n_steps"))

@@ -16,6 +16,7 @@ threshold blocked).
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import NamedTuple, Tuple
 
@@ -28,6 +29,7 @@ from fitslam_tpu.ops import lie
 
 UNKNOWN = 255
 LETHAL = 254
+INSCRIBED = 253     # nav2 INSCRIBED_INFLATED_OBSTACLE
 FREE = 0
 
 
@@ -207,6 +209,139 @@ def threshold_grid(grid: TraversabilityGrid, lethal_threshold: int = 55) -> jax.
     known = grid.cost != UNKNOWN
     occ = jnp.where(grid.cost >= lethal_threshold, LETHAL, FREE)
     return jnp.where(known, occ, UNKNOWN).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Costmap layers (SURVEY.md §2.4 N4): inflation, rolling windows, resampling
+# ---------------------------------------------------------------------------
+
+_BIG_D = 1e6
+_SQRT2 = math.sqrt(2.0)
+
+
+def _shifted(a: jax.Array, dy: int, dx: int, fill) -> jax.Array:
+    """Roll with edge fill (no wraparound)."""
+    out = jnp.roll(a, (dy, dx), axis=(0, 1))
+    if dy > 0:
+        out = out.at[:dy, :].set(fill)
+    elif dy < 0:
+        out = out.at[dy:, :].set(fill)
+    if dx > 0:
+        out = out.at[:, :dx].set(fill)
+    elif dx < 0:
+        out = out.at[:, dx:].set(fill)
+    return out
+
+
+@vjit(static_argnames=("resolution", "max_radius_m"))
+def distance_to_lethal(occ: jax.Array, resolution: float,
+                       max_radius_m: float) -> jax.Array:
+    """Chamfer distance transform to the nearest lethal cell, by iterated
+    8-neighbor min-plus relaxation (axial step = res, diagonal = res*sqrt2).
+    Exact to chamfer metric within `max_radius_m`; beyond it saturates."""
+    occ_i = occ.astype(jnp.int32)
+    lethal = (occ_i != UNKNOWN) & (occ_i >= LETHAL)
+    d0 = jnp.where(lethal, 0.0, _BIG_D)
+    iters = max(1, int(math.ceil(max_radius_m / resolution)) + 1)
+
+    def body(_, d):
+        ax = jnp.minimum(
+            jnp.minimum(_shifted(d, 1, 0, _BIG_D), _shifted(d, -1, 0, _BIG_D)),
+            jnp.minimum(_shifted(d, 0, 1, _BIG_D), _shifted(d, 0, -1, _BIG_D)),
+        ) + resolution
+        dg = jnp.minimum(
+            jnp.minimum(_shifted(d, 1, 1, _BIG_D), _shifted(d, 1, -1, _BIG_D)),
+            jnp.minimum(_shifted(d, -1, 1, _BIG_D), _shifted(d, -1, -1, _BIG_D)),
+        ) + resolution * _SQRT2
+        return jnp.minimum(d, jnp.minimum(ax, dg))
+
+    return jax.lax.fori_loop(0, iters, body, d0)
+
+
+@vjit(static_argnames=("resolution", "inflation_radius_m",
+                       "cost_scaling_factor", "inscribed_radius_m"))
+def inflate_grid(
+    occ: jax.Array,
+    resolution: float,
+    inflation_radius_m: float = 0.6,
+    cost_scaling_factor: float = 0.6,
+    inscribed_radius_m: float = 0.1,
+) -> jax.Array:
+    """nav2 InflationLayer equivalent (active_slam_nav2_params.yaml:129-136,
+    160-163): cells within the robot's inscribed radius of a lethal cell get
+    INSCRIBED (253); beyond that cost decays as
+    252 * exp(-cost_scaling_factor * (d - inscribed_radius)) out to
+    `inflation_radius_m`. Lethal and unknown cells are preserved, so the same
+    kernel serves both the global (radius 5.0) and local (radius 0.6) costmap
+    instances with their own parameters — the per-costmap inflation the
+    reference configures per nav2 costmap."""
+    occ_i = occ.astype(jnp.int32)
+    lethal = (occ_i != UNKNOWN) & (occ_i >= LETHAL)
+    unknown = occ_i == UNKNOWN
+    d = distance_to_lethal(occ, resolution, inflation_radius_m)
+    infl = jnp.round(
+        (INSCRIBED - 1.0)
+        * jnp.exp(-cost_scaling_factor * jnp.maximum(d - inscribed_radius_m, 0.0))
+    )
+    infl = jnp.where(d <= inscribed_radius_m, float(INSCRIBED), infl)
+    infl = jnp.where(d <= inflation_radius_m, infl, 0.0)
+    out = jnp.maximum(occ_i.astype(jnp.float32), infl)
+    out = jnp.where(lethal, float(LETHAL), out)
+    out = jnp.where(unknown, float(UNKNOWN), out)
+    return out.astype(jnp.uint8)
+
+
+@vjit(static_argnames=("size_cells",))
+def _extract_window(occ: jax.Array, start_rc: jax.Array, size_cells: int) -> jax.Array:
+    return jax.lax.dynamic_slice(occ, (start_rc[0], start_rc[1]),
+                                 (size_cells, size_cells))
+
+
+def rolling_window(spec: GridSpec2D, occ: jax.Array, center_xy,
+                   size_m: float) -> Tuple[jax.Array, GridSpec2D]:
+    """Rolling local costmap extraction (nav2 local_costmap rolling_window:
+    true, width/height 10 m): a size_m x size_m window of the global grid
+    centered on the robot, clipped to bounds. Returns (local occ, local
+    spec). The slice itself is one jitted dynamic_slice; the window origin is
+    host math (it parameterizes the returned spec)."""
+    import numpy as np
+
+    size_cells = max(1, int(round(size_m / spec.resolution)))
+    size_cells = min(size_cells, spec.size)
+    c = np.floor(
+        (np.asarray(center_xy, np.float64)
+         - np.array([spec.origin_x, spec.origin_y])) / spec.resolution
+    ).astype(np.int64)
+    row = int(np.clip(c[1] - size_cells // 2, 0, spec.size - size_cells))
+    col = int(np.clip(c[0] - size_cells // 2, 0, spec.size - size_cells))
+    local = _extract_window(occ, jnp.array([row, col], jnp.int32), size_cells)
+    local_spec = GridSpec2D(
+        size=size_cells,
+        resolution=spec.resolution,
+        origin_x=spec.origin_x + col * spec.resolution,
+        origin_y=spec.origin_y + row * spec.resolution,
+    )
+    return local, local_spec
+
+
+@vjit(static_argnames=("factor",))
+def upsample_grid(occ: jax.Array, factor: int) -> jax.Array:
+    """Replicate cells (the reference's global costmap re-rasterizes the
+    0.25 m traversability grid at 0.05 m — a 5x upsample)."""
+    return jnp.repeat(jnp.repeat(occ, factor, axis=0), factor, axis=1)
+
+
+@vjit(static_argnames=("factor",))
+def downsample_grid_max(occ: jax.Array, factor: int) -> jax.Array:
+    """Conservative downsample: lethal wins over free, known wins over
+    unknown (unknown only survives where the whole block is unknown)."""
+    occ_i = occ.astype(jnp.int32)
+    known_cost = jnp.where(occ_i == UNKNOWN, -1, occ_i).astype(jnp.float32)
+    pooled = jax.lax.reduce_window(
+        known_cost, -jnp.inf, jax.lax.max,
+        (factor, factor), (factor, factor), "VALID",
+    )
+    return jnp.where(pooled < 0, UNKNOWN, pooled).astype(jnp.uint8)
 
 
 def depth_image_to_cloud(K, depth_img: jax.Array, stride: int = 4,

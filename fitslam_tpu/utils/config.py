@@ -278,12 +278,65 @@ class NavConfig:
 
 
 @dataclass(frozen=True)
+class CostmapLayerConfig:
+    """One nav2 costmap instance: static source + inflation layer(s)
+    (SURVEY.md §2.4 N4, active_slam_nav2_params.yaml:118-173)."""
+
+    rolling: bool = False           # rolling_window: robot-centered window
+    size_m: float = 10.0            # rolling window width/height
+    resample: int = 1               # >1 upsample factor, <-1 downsample |k|
+    inflation_radius_m: float = 0.6
+    cost_scaling_factor: float = 0.6
+    inscribed_radius_m: float = 0.10  # robot_radius
+    lethal_marker: bool = False     # apply the LethalMarker overlay (E15)
+    # second inflation pass over marked lethal zones
+    # (lethal_inflation_layer, radius 0.3)
+    lethal_inflation_radius_m: float = 0.0
+
+
+@dataclass(frozen=True)
+class CostmapsConfig:
+    """The reference's two nav2 costmap instances: a rolling local costmap
+    (10x10 m @0.25, inflation 0.6/0.6) and a global costmap (@0.05 upsample,
+    inflation 0.6/5.0 + LethalMarker + lethal inflation 0.3). The exploration
+    server keeps its own third instance (N6) built from the raw occupancy +
+    lethal overlay."""
+
+    local: CostmapLayerConfig = field(default_factory=lambda: CostmapLayerConfig(
+        rolling=True, size_m=10.0, inflation_radius_m=0.6,
+        cost_scaling_factor=0.6, inscribed_radius_m=0.10))
+    global_map: CostmapLayerConfig = field(default_factory=lambda: CostmapLayerConfig(
+        rolling=False, inflation_radius_m=5.0, cost_scaling_factor=0.6,
+        inscribed_radius_m=0.05, lethal_marker=True,
+        lethal_inflation_radius_m=0.3))
+
+
+@dataclass(frozen=True)
 class RecoveryConfig:
     """SURVEY.md §2.3 E14."""
 
     probe_distance_m: float = 2.5
     move_distance_m: float = 0.84
     speed: float = 0.6
+
+
+@dataclass(frozen=True)
+class LocalizationConfig:
+    """N5: robot_localization dual-EKF + twist_mux wired into the live loop
+    (ekf_with_gps.yaml / twist_mux.yaml). When enabled, ActiveSlamSystem
+    fuses wheel-odometry twist + IMU through the odom-frame filter and
+    additionally the SLAM pose (the absolute reference, in GPS's role)
+    through the map-frame filter; the fused map-frame pose becomes
+    get_robot_pose, and nav/recovery twists route through TwistMux."""
+
+    enabled: bool = False
+    odom_var: float = 0.01          # wheel twist variance
+    imu_rate_var: float = 0.005
+    imu_ori_var: float = 0.01
+    imu_gate: float = 0.8           # imu0 mahalanobis threshold (yaml)
+    slam_pose_var: float = 0.02
+    slam_pose_gate: float = 3.0     # reject loop-closure-scale jumps
+    fuse_every_n_frames: int = 1    # SLAM pose fusion decimation
 
 
 @dataclass(frozen=True)
@@ -319,6 +372,8 @@ class FitSlamConfig:
     exploration_bt: ExplorationBTConfig = field(default_factory=ExplorationBTConfig)
     sensor_simulator: SensorSimulatorConfig = field(default_factory=SensorSimulatorConfig)
     nav: NavConfig = field(default_factory=NavConfig)
+    costmaps: CostmapsConfig = field(default_factory=CostmapsConfig)
+    localization: LocalizationConfig = field(default_factory=LocalizationConfig)
     recovery: RecoveryConfig = field(default_factory=RecoveryConfig)
     multi_robot: MultiRobotConfig = field(default_factory=MultiRobotConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)

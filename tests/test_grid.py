@@ -194,3 +194,92 @@ def test_extract_frontiers_respects_boundary():
     goals = np.asarray(fr_b.goal_xy)[np.asarray(fr_b.valid)]
     assert len(goals) > 0
     assert (goals[:, 0] <= 0.0 + 0.25).all()  # all goals in the left half
+
+
+# ---------------------------------------------------------------------------
+# Costmap layers (N4): inflation, rolling window, resampling
+# ---------------------------------------------------------------------------
+
+
+def _grid_with_wall():
+    """16x16 free grid with a lethal column at x-cell 8, some unknown."""
+    occ = np.zeros((16, 16), np.uint8)
+    occ[:, 8] = gr.LETHAL
+    occ[0, :] = gr.UNKNOWN
+    return jnp.asarray(occ)
+
+
+def test_distance_to_lethal_chamfer():
+    spec = gr.GridSpec2D(size=16, resolution=0.5, origin_x=0.0, origin_y=0.0)
+    occ = _grid_with_wall()
+    d = np.asarray(gr.distance_to_lethal(occ, spec.resolution, 3.0))
+    assert d[5, 8] == 0.0
+    np.testing.assert_allclose(d[5, 7], 0.5)
+    np.testing.assert_allclose(d[5, 6], 1.0)
+    # diagonal metric: one row off, one col off = res * sqrt2
+    np.testing.assert_allclose(d[4, 7], 0.5, atol=1e-5)  # axial to (4,8)
+
+
+def test_inflate_grid_nav2_profile():
+    spec = gr.GridSpec2D(size=16, resolution=0.5, origin_x=0.0, origin_y=0.0)
+    occ = _grid_with_wall()
+    out = np.asarray(gr.inflate_grid(
+        occ, spec.resolution, inflation_radius_m=2.0,
+        cost_scaling_factor=0.6, inscribed_radius_m=0.5,
+    ))
+    # lethal preserved; unknown preserved
+    assert (out[1:, 8] == gr.LETHAL).all()
+    assert (out[0, :] == gr.UNKNOWN).all()
+    # inscribed ring (d <= 0.5) = INSCRIBED
+    assert out[5, 7] == gr.INSCRIBED
+    # exponential decay beyond the inscribed radius, monotone in distance
+    assert gr.INSCRIBED > out[5, 6] > out[5, 5] > out[5, 4]
+    expected = round(252 * np.exp(-0.6 * (1.0 - 0.5)))
+    assert out[5, 6] == expected
+    # beyond the inflation radius untouched
+    assert out[5, 1] == 0
+
+
+def test_inflation_radius_is_per_costmap():
+    """Two instances with different radii produce different footprints —
+    the per-costmap inflation the reference configures (N4)."""
+    spec = gr.GridSpec2D(size=16, resolution=0.5, origin_x=0.0, origin_y=0.0)
+    occ = _grid_with_wall()
+    small = np.asarray(gr.inflate_grid(occ, 0.5, inflation_radius_m=0.6))
+    big = np.asarray(gr.inflate_grid(occ, 0.5, inflation_radius_m=4.0))
+    assert small[5, 6] == 0 or small[5, 6] < big[5, 6]
+    assert big[5, 2] > 0
+    assert small[5, 2] == 0
+
+
+def test_rolling_window_extraction():
+    spec = gr.GridSpec2D(size=64, resolution=0.25, origin_x=-8.0, origin_y=-8.0)
+    occ = jnp.arange(64 * 64, dtype=jnp.int32).astype(jnp.uint8).reshape(64, 64)
+    local, lspec = gr.rolling_window(spec, occ, np.array([0.0, 0.0]), 4.0)
+    assert local.shape == (16, 16)
+    assert lspec.size == 16 and lspec.resolution == 0.25
+    # window is centered: its origin is 2 m left/below center
+    np.testing.assert_allclose([lspec.origin_x, lspec.origin_y], [-2.0, -2.0])
+    # the same world point reads the same cell through either spec
+    p = jnp.array([0.6, -0.9])
+    cg, _ = spec.world_to_cell(p)
+    cl, okl = lspec.world_to_cell(p)
+    assert bool(okl)
+    assert int(occ[cg[1], cg[0]]) == int(local[cl[1], cl[0]])
+    # clipping at the map edge
+    local2, lspec2 = gr.rolling_window(spec, occ, np.array([-7.9, -7.9]), 4.0)
+    np.testing.assert_allclose([lspec2.origin_x, lspec2.origin_y], [-8.0, -8.0])
+
+
+def test_resample_grids():
+    occ = np.zeros((8, 8), np.uint8)
+    occ[2, 2] = gr.LETHAL
+    occ[4:6, 4:6] = gr.UNKNOWN
+    up = np.asarray(gr.upsample_grid(jnp.asarray(occ), 2))
+    assert up.shape == (16, 16)
+    assert (up[4:6, 4:6] == gr.LETHAL).all()
+    down = np.asarray(gr.downsample_grid_max(jnp.asarray(occ), 2))
+    assert down.shape == (4, 4)
+    assert down[1, 1] == gr.LETHAL       # lethal wins in its block
+    assert down[2, 2] == gr.UNKNOWN      # all-unknown block stays unknown
+    assert down[0, 0] == 0               # free block stays free
