@@ -49,7 +49,8 @@ class FrontierCosts(NamedTuple):
     path_fi: jax.Array          # (F,) fisher_information_in_path (E4/E5)
 
 
-@vjit(static_argnames=("spec", "n_rays", "n_steps", "fov_rad", "min_path_info"))
+@vjit(static_argnames=("spec", "n_rays", "n_steps", "fov_rad", "min_path_info",
+                       "methods"))
 def assign_costs(
     spec: GridSpec2D,
     occ: jax.Array,
@@ -72,8 +73,17 @@ def assign_costs(
     min_path_info: float = 0.0,         # exclude below this path FI (0 = off)
     robot_xy: jax.Array | None = None,  # (2,) for closeness rejection
     closeness_rejection: float = 0.5,   # costCalculator.closeness_rejection_threshold
+    methods: Tuple[str, ...] = ("RoadmapPlannerDistance", "ArrivalInformation"),
+    rng_key: jax.Array | None = None,   # for the RandomCosts ablation
 ) -> FrontierCosts:
-    """Full cost pipeline for all frontiers at once."""
+    """Full cost pipeline for all frontiers at once.
+
+    `methods` selects the cost calculation (costAssigner.cost_calculation_
+    methods): the default utility combines roadmap distance + arrival
+    information; the ablation baselines of the reference's method-comparison
+    machinery (CostCalculator.cpp:487-510) are "RandomCosts" (uniform random
+    cost per frontier) and "ClosestFrontier" (pure Euclidean distance) —
+    exclusion rules (lethal/blacklist/floors) still apply in every mode."""
     F = fr.valid.shape[0]
 
     heading, info = raycast.arrival_information(
@@ -127,6 +137,19 @@ def assign_costs(
     time_norm = (time_cost - t_min) / jnp.maximum(t_max - t_min, 1e-6)
     u = alpha * info_norm + (1.0 - alpha) * (1.0 - jnp.clip(time_norm, 0.0, 1.0))
     weighted = 1.0 / jnp.maximum(beta * u, 1e-6)
+
+    if "RandomCosts" in methods:
+        # setRandomMetaData (CostCalculator.cpp:487-497): every frontier gets
+        # a uniform random cost — the lower bound for method comparison
+        key = jax.random.PRNGKey(0) if rng_key is None else rng_key
+        weighted = jax.random.uniform(key, (F,), minval=1.0, maxval=100.0)
+        u = 1.0 / weighted
+    elif "ClosestFrontier" in methods:
+        # setClosestFrontierMetaData (:499-510): greedy nearest-frontier
+        d_r = (jnp.linalg.norm(fr.goal_xy - robot_xy[None, :], axis=-1)
+               if robot_xy is not None else path_len)
+        weighted = d_r
+        u = 1.0 / jnp.maximum(d_r, 1e-6)
 
     achievable = achievable & (info >= info_floor)
     if path_fi is None:

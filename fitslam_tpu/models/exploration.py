@@ -284,9 +284,13 @@ class ExplorationServer:
                     fov_half_angle=fcfg.fov_half_angle,
                     max_range=fcfg.max_landmark_distance,
                 )
+            methods = tuple(self.cfg.cost_assigner.cost_calculation_methods)
             costs = cx.assign_costs(
                 self.spec, occ, fr, self.roadmap.xy, self.roadmap.valid,
                 robot_dist, blacklisted,
+                methods=methods,
+                rng_key=(jax.random.PRNGKey(self.diag.ticks)
+                         if "RandomCosts" in methods else None),
                 alpha=self.cfg.cost_assigner.alpha,
                 beta=self.cfg.cost_assigner.beta,
                 v_max=self.cfg.cost_assigner.max_linear_velocity,

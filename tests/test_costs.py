@@ -133,3 +133,35 @@ def test_goal_hysteresis():
     # no previous goal: take new
     g3, ok3 = cx.goal_hysteresis(None, np.array([2.0, 0.0]), False, True, robot, 3.0)
     assert ok3 and np.allclose(g3, [2.0, 0.0])
+
+
+def test_closest_frontier_ablation():
+    """ClosestFrontier baseline (CostCalculator.cpp:499-510): the weighted
+    cost is pure Euclidean distance — the nearest achievable frontier wins
+    regardless of information."""
+    occ, rm, robot_dist, fr = _setup()
+    robot = jnp.array([-0.5, 1.5], jnp.float32)  # nearest to frontier at y=2
+    c = cx.assign_costs(SPEC, occ, fr, rm.xy, rm.valid, robot_dist,
+                        jnp.zeros((F,), bool),
+                        methods=("ClosestFrontier",), robot_xy=robot)
+    w = np.asarray(c.weighted_cost)
+    assert np.isfinite(w[:3]).all() and (w[3:] > 1e8).all()  # exclusions hold
+    assert w[:3].argmin() == 2  # y=2 frontier is euclidean-closest
+    d = np.linalg.norm(np.asarray(fr.goal_xy[2]) - np.asarray(robot))
+    np.testing.assert_allclose(w[2], d, rtol=1e-5)
+
+
+def test_random_costs_ablation():
+    """RandomCosts baseline (CostCalculator.cpp:487-497): random costs per
+    frontier, different across keys, exclusions still infinite."""
+    occ, rm, robot_dist, fr = _setup()
+    c1 = cx.assign_costs(SPEC, occ, fr, rm.xy, rm.valid, robot_dist,
+                         jnp.zeros((F,), bool), methods=("RandomCosts",),
+                         rng_key=jax.random.PRNGKey(1))
+    c2 = cx.assign_costs(SPEC, occ, fr, rm.xy, rm.valid, robot_dist,
+                         jnp.zeros((F,), bool), methods=("RandomCosts",),
+                         rng_key=jax.random.PRNGKey(2))
+    w1, w2 = np.asarray(c1.weighted_cost), np.asarray(c2.weighted_cost)
+    assert np.isfinite(w1[:3]).all() and (w1[:3] >= 1.0).all()
+    assert (w1[3:] > 1e8).all()
+    assert not np.allclose(w1[:3], w2[:3])  # seeds differ -> costs differ
