@@ -91,6 +91,10 @@ class LoopCloser:
         self.K = K
         self.loop_edges: List[Tuple[int, int, np.ndarray]] = []  # (i, j, T_ij 4x4)
         self.last_loop_kf = -(10**9)
+        # temporal consistency state (ORB-SLAM3 mnCovisibilityConsistencyTh):
+        # the same candidate region must recur on consecutive keyframes
+        self._consist_cand = -(10**9)
+        self._consist_count = 0
 
     def on_keyframe(self, slam, kf_idx: int) -> Optional[dict]:
         """Called after each keyframe insertion. Returns correction info when
@@ -103,6 +107,17 @@ class LoopCloser:
         cand = detect_loop(m, sig, jnp.int32(kf_idx), cfg.min_gap_keyframes)
         score = float(cand.score)
         if score < cfg.min_score:
+            self._consist_count = 0
+            return None
+        # temporal-consistency gate: the candidate region must recur on
+        # consecutive keyframes before verification may accept it
+        # (ORB-SLAM3 DetectLoop consistency check)
+        if abs(int(cand.kf_idx) - self._consist_cand) <= cfg.consistency_radius_kf:
+            self._consist_count += 1
+        else:
+            self._consist_count = 1
+        self._consist_cand = int(cand.kf_idx)
+        if self._consist_count < cfg.consistency_threshold:
             return None
         # geometric verification against the candidate's landmarks
         frame = slam.last_frame
@@ -118,6 +133,8 @@ class LoopCloser:
         T_ij = lie.compose(T_i, lie.inverse(T_loop))
         self.loop_edges.append((i, j, np.asarray(T_ij.matrix())))
         self.last_loop_kf = kf_idx
+        self._consist_count = 0
+        self._consist_cand = -(10**9)
 
         # --- pose-graph correction ---
         K_cap = m.kf_valid.shape[0]

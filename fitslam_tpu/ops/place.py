@@ -1,12 +1,19 @@
 """Place recognition as dense linear algebra.
 
 Replaces the reference's DBoW2 vocabulary scoring (ORB-SLAM3 loop detector,
-submodule; SURVEY.md §2.1 S1) with a TPU-native global descriptor: each
-frame's binary ORB descriptors are unpacked to ±1 bit vectors and averaged
-into a 256-d signature; similarity against all keyframes is then one matvec
-on the MXU. Crude relative to a trained vocabulary, but exact-shape, fast,
-and good enough to shortlist loop candidates which are *verified* by
-descriptor matching + geometric checks anyway (as the reference does).
+submodule; SURVEY.md §2.1 S1) with a TPU-native bag-of-words: a fixed
+random-hyperplane vocabulary quantizes each ±1 BRIEF descriptor to one of W
+visual words in a single (N, bits) x (bits, W) matmul on the MXU (the
+vocabulary-tree lookup of DBoW2 collapsed to one GEMM); the word histogram is
+Hellinger-normalized (sqrt then L2) so frame similarity — one matvec against
+all keyframe signatures — is the Bhattacharyya coefficient of the two word
+distributions. Untrained relative to a DBoW2 vocabulary, but far more
+discriminative than a mean-descriptor signature: two frames only score high
+when their descriptor *distributions* overlap, not merely their per-bit
+priors (the perceptual-aliasing weakness flagged in round 1). Candidates are
+still *verified* by descriptor matching + geometric checks (as the reference
+does), with a temporal-consistency gate in the loop closer (ORB-SLAM3's
+mnCovisibilityConsistencyTh).
 """
 
 from __future__ import annotations
@@ -17,12 +24,47 @@ import numpy as np
 
 from fitslam_tpu.utils.jit import vjit
 
+#: number of visual words; equals the signature dim stored per keyframe
+#: (LoopConfig.vocab_dim must match)
+VOCAB_WORDS = 256
+
+_VOCAB_SEED = 0x5EED
+
+
+def _vocabulary(bits: int, words: int) -> jax.Array:
+    """Fixed random-hyperplane vocabulary (bits, words). Seeded, so it is a
+    trace-time constant identical across processes/hosts — signatures are
+    comparable with no vocabulary file to ship (the reference ships a ~40 MB
+    trained ORBvoc.txt)."""
+    key = jax.random.PRNGKey(_VOCAB_SEED)
+    v = jax.random.normal(key, (bits, words), jnp.float32)
+    return v / jnp.linalg.norm(v, axis=0, keepdims=True)
+
+
+#: soft-assignment temperature: word affinities are ~N(0,1), so beta=4 makes
+#: assignment selective but smooth — a few descriptor-bit flips shift word
+#: mass slightly instead of jumping cells (hard argmax loses ~25% similarity
+#: at 2% bit noise; soft keeps revisit scores ~0.8)
+SOFT_BETA = 4.0
+
 
 @vjit
 def signature_from_descriptors(desc: jax.Array, valid: jax.Array) -> jax.Array:
-    """(N, 256) ±1 + (N,) mask -> (256,) L2-normalized float signature."""
-    w = valid.astype(jnp.float32)[:, None]
-    sig = jnp.sum(desc.astype(jnp.float32) * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    """(N, bits) ±1 descriptors + (N,) mask -> (VOCAB_WORDS,) signature.
+
+    Soft bag-of-words: softmax word assignment, Hellinger sqrt, then CENTER
+    (subtract the mean) and L2-normalize. Centering removes the uniform
+    histogram component every frame shares, so unrelated frames score ~0.05
+    instead of ~0.9 (measured in tests/test_place.py) — the round-1
+    mean-descriptor signature clustered all scores near 1.0."""
+    bits = desc.shape[-1]
+    vocab = _vocabulary(bits, VOCAB_WORDS)
+    scores = desc.astype(jnp.float32) @ vocab          # (N, W) word affinities
+    p = jax.nn.softmax(SOFT_BETA * scores, axis=-1)    # soft word assignment
+    w = valid.astype(jnp.float32)
+    hist = jnp.sum(p * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    sig = jnp.sqrt(hist)
+    sig = sig - jnp.mean(sig)
     n = jnp.linalg.norm(sig)
     return sig / jnp.maximum(n, 1e-6)
 

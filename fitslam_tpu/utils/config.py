@@ -96,6 +96,13 @@ class LoopConfig:
     min_score: float = 0.22
     min_gap_keyframes: int = 20
     min_matches: int = 24
+    # ORB-SLAM3's covisibility-consistency gate: a candidate region must be
+    # re-detected on this many consecutive keyframes before geometric
+    # verification may accept it (mnCovisibilityConsistencyTh = 3 upstream;
+    # default 1 keeps small synthetic maps responsive — raise to 3 under
+    # perceptual aliasing)
+    consistency_threshold: int = 1
+    consistency_radius_kf: int = 5  # candidates within this many KFs = same region
     pgo_iters: int = 12
     run_global_ba: bool = True      # GBA after PGO (loop-closing thread, §3.4)
     gba_iters: int = 8

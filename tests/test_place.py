@@ -1,0 +1,146 @@
+"""Place-recognition discriminability under perceptual aliasing (VERDICT r1
+weak #4 / next-step #9): the bag-of-words signature must separate true
+revisits from similar-but-distinct places, and the loop closer must not
+accept a false loop between aliased rooms.
+
+The reference relies on a trained DBoW2 vocabulary plus ORB-SLAM3's
+covisibility-consistency gate (submodule, SURVEY.md §2.1 S1); here the
+vocabulary is a fixed random-hyperplane projection and the same consistency
+gate is reproduced in LoopCloser."""
+
+import dataclasses
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fitslam_tpu.models import loop_closing as lc
+from fitslam_tpu.models import slam_map as sm
+from fitslam_tpu.models import tracking as tr
+from fitslam_tpu.ops import lie
+from fitslam_tpu.ops.geometry import Intrinsics
+from fitslam_tpu.ops.orb import FrameFeatures
+from fitslam_tpu.ops.place import signature_from_descriptors
+from fitslam_tpu.utils.config import FitSlamConfig
+
+N = 192  # descriptors per frame
+
+
+def _rand_desc(key, n=N):
+    return jnp.where(jax.random.bernoulli(key, 0.5, (n, 256)), 1.0, -1.0
+                     ).astype(jnp.bfloat16)
+
+
+def _perturb(key, desc, flip_p):
+    """Flip each bit with probability flip_p (viewpoint/noise model)."""
+    flip = jax.random.bernoulli(key, flip_p, desc.shape)
+    return jnp.where(flip, -desc, desc)
+
+
+def _mix(key, desc_a, desc_b, frac_b):
+    """A place whose features are (1-frac_b) from room A, frac_b fresh."""
+    take_b = jax.random.bernoulli(key, frac_b, (desc_a.shape[0], 1))
+    return jnp.where(take_b, desc_b, desc_a)
+
+
+def test_signature_separates_revisit_from_aliased_room():
+    """Precision/recall over a mini-corpus: revisits (same descriptors ± bit
+    noise) must score ABOVE every aliased room (60-80 % shared features) and
+    far above distinct places."""
+    key = jax.random.PRNGKey(7)
+    valid = jnp.ones((N,), bool)
+    room_a = _rand_desc(jax.random.fold_in(key, 0))
+
+    sig_a = signature_from_descriptors(room_a, valid)
+    # true revisits: the same physical features, some descriptor-bit noise
+    revisit_scores = []
+    for k in range(4):
+        d = _perturb(jax.random.fold_in(key, 10 + k), room_a, 0.02)
+        revisit_scores.append(float(signature_from_descriptors(d, valid) @ sig_a))
+    # aliased rooms: 60-80 % of features look like A's (with the same
+    # viewpoint noise a revisit would have), the rest are fresh
+    alias_scores = []
+    for k, frac in enumerate([0.2, 0.3, 0.4]):
+        fresh = _rand_desc(jax.random.fold_in(key, 20 + k))
+        shared = _perturb(jax.random.fold_in(key, 35 + k), room_a, 0.02)
+        d = _mix(jax.random.fold_in(key, 30 + k), shared, fresh, frac)
+        alias_scores.append(float(signature_from_descriptors(d, valid) @ sig_a))
+    # distinct places
+    distinct_scores = []
+    for k in range(4):
+        d = _rand_desc(jax.random.fold_in(key, 40 + k))
+        distinct_scores.append(float(signature_from_descriptors(d, valid) @ sig_a))
+
+    r_min = min(revisit_scores)
+    a_max = max(alias_scores)
+    d_max = max(distinct_scores)
+    # full separation: a threshold exists classifying revisit vs alias vs
+    # distinct with precision = recall = 1 on this corpus
+    assert r_min > a_max > d_max, (revisit_scores, alias_scores, distinct_scores)
+    # and the margin is usable (not a knife edge)
+    assert r_min - a_max > 0.05
+    # distinct places score LOW in absolute terms (the round-1 mean-bit
+    # signature clustered everything near 1.0)
+    assert d_max < 0.3
+
+
+def test_consistency_gate_blocks_one_shot_false_loop():
+    """With consistency_threshold=3, a single-keyframe aliased detection is
+    NOT verified; a persistent true revisit IS (after 3 consecutive hits)."""
+    K = Intrinsics(fx=jnp.float32(200.0), fy=jnp.float32(200.0),
+                   cx=jnp.float32(160.0), cy=jnp.float32(120.0),
+                   baseline=jnp.float32(0.2))
+    key = jax.random.PRNGKey(3)
+    pts_w = jax.random.uniform(key, (N, 3), minval=-4.0, maxval=4.0) + jnp.array([0, 0, 8.0])
+    desc = _rand_desc(jax.random.fold_in(key, 1))
+    valid = jnp.ones((N,), bool)
+
+    def frame_at(T_cw, d):
+        from fitslam_tpu.ops.geometry import project_stereo
+
+        p_c = (T_cw.R @ pts_w[..., None])[..., 0] + T_cw.t
+        uvr, ok = project_stereo(K, p_c)
+        feats = FrameFeatures(xy=uvr[:, :2], response=jnp.ones((N,)),
+                              angle=jnp.zeros((N,)),
+                              level=jnp.zeros((N,), jnp.int32), desc=d,
+                              valid=ok & (p_c[..., 2] > 0.5))
+        return tr.StereoFrame(feats, p_c[..., 2] * feats.valid)
+
+    cfg = FitSlamConfig()
+    cfg = dataclasses.replace(
+        cfg, loop=dataclasses.replace(
+            cfg.loop, min_gap_keyframes=3, min_score=0.1, min_matches=20,
+            consistency_threshold=3, run_global_ba=False,
+        ))
+    T0 = lie.SE3.identity()
+    f0 = frame_at(T0, desc)
+    sig0 = signature_from_descriptors(desc, valid)
+    m = sm.empty_map(16, 512, 2048)
+    m = sm.insert_keyframe(m, K, T0, f0.feats, f0.depth,
+                           -jnp.ones((N,), jnp.int32), jnp.int32(0), sig0)
+    for k in range(1, 8):
+        T_k = lie.se3_exp(jnp.array([5.0 * k, 0, 0, 0, 0, 0]))
+        dk = _rand_desc(jax.random.fold_in(key, 50 + k))
+        fk = frame_at(T_k, dk)
+        m = sm.insert_keyframe(m, K, T_k, fk.feats, fk.depth,
+                               -jnp.ones((N,), jnp.int32), jnp.int32(k),
+                               signature_from_descriptors(dk, fk.feats.valid))
+
+    closer = lc.LoopCloser(cfg, K)
+    # revisit keyframes (same place, consistent candidate = KF0)
+    infos = []
+    for r in range(3):
+        T_est = lie.compose(lie.se3_exp(jnp.array([0.3, 0.1, 0, 0, 0, 0.03])), T0)
+        fr = frame_at(T0, desc)
+        m = sm.insert_keyframe(m, K, T_est, fr.feats, fr.depth,
+                               -jnp.ones((N,), jnp.int32), jnp.int32(8 + r), sig0)
+        slam = SimpleNamespace(map=m, last_frame=fr,
+                               state=tr.mark_keyframe(
+                                   tr.init_track_state()._replace(T_cw=T_est),
+                                   jnp.int32(0)))
+        infos.append(closer.on_keyframe(slam, int(m.n_kf) - 1))
+        m = slam.map
+    # first two detections are held back by the gate; the third closes
+    assert infos[0] is None and infos[1] is None
+    assert infos[2] is not None and infos[2]["loop_to"] == 0
