@@ -46,6 +46,18 @@ def corridor_world(key, num: int = 4096, length: float = 40.0, width: float = 4.
     return World(jnp.stack([x, y, z], axis=-1))
 
 
+def ring_world(key, num: int = 6000, radius: float = 12.0, width: float = 5.0) -> World:
+    """Landmarks on the two walls of a ring corridor (the marsyard-like loop
+    sequence of BASELINE config 2): camera driving the ring sees both walls
+    ahead, and the loop trajectory revisits its start."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    ang = jax.random.uniform(k1, (num,), minval=0.0, maxval=2.0 * math.pi)
+    side = jnp.where(jax.random.bernoulli(k2, 0.5, (num,)), 1.0, -1.0)
+    r = radius + side * width / 2 + 0.05 * jax.random.normal(k3, (num,))
+    z = jax.random.uniform(k4, (num,), minval=0.0, maxval=2.5)
+    return World(jnp.stack([r * jnp.cos(ang), r * jnp.sin(ang), z], axis=-1))
+
+
 def loop_trajectory(num_frames: int, radius: float = 12.0, height: float = 1.2) -> lie.SE3:
     """Camera going around a circle, facing tangentially — closes a loop.
 

@@ -66,8 +66,13 @@ def verify_loop(
     """Match the current frame against the candidate's landmarks and solve the
     camera pose those landmarks imply. Returns (T_cw_loop, inlier count)."""
     lm_mask = landmarks_seen_by(m, cand_kf)
-    dist = matching.hamming_matrix(frame.feats.desc, m.lm_desc, frame.feats.valid, lm_mask)
-    mt = matching.match_ratio(dist, max_distance=max_hamming, ratio=0.85, mutual=True)
+    # fused Pallas matcher on TPU (no (N, L) distance matrix in HBM,
+    # ops/pallas_matching.py); identical XLA selection elsewhere
+    from fitslam_tpu.ops.pallas_matching import match_ratio_fused
+
+    mt = match_ratio_fused(frame.feats.desc, frame.feats.valid,
+                           m.lm_desc, lm_mask,
+                           max_distance=max_hamming, ratio=0.85, mutual=True)
 
     u_r = jnp.where(
         frame.depth > 1e-3,

@@ -64,6 +64,13 @@ def wavefront_potential(
     goal_flat = jnp.clip(cell[1] * G + cell[0], 0, G * G - 1)
     pot0 = jnp.full((G * G,), BIG).at[goal_flat].set(0.0).reshape(G, G)
 
+    if jax.default_backend() == "tpu":
+        # fused Pallas sweep loop: the grid stays in VMEM for all `iters`
+        # sweeps instead of a full HBM round-trip per sweep (ops/pallas_grid)
+        from fitslam_tpu.ops.pallas_grid import wavefront_sweeps
+
+        return wavefront_sweeps(pot0, step_cost, passable, iters)
+
     def sweep(_, pot):
         up = jnp.roll(pot, 1, axis=0).at[0, :].set(BIG)
         dn = jnp.roll(pot, -1, axis=0).at[-1, :].set(BIG)
