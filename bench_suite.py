@@ -61,8 +61,8 @@ def _slam_cfg(small: bool):
                                 fast_threshold=12.0),
         tracking=dataclasses.replace(cfg.tracking, min_inliers=10,
                                      keyframe_min_interval=2,
-                                     keyframe_translation=0.45,
-                                     keyframe_rotation=0.2),
+                                     keyframe_translation=0.3,
+                                     keyframe_rotation=0.15),
         # the 200-frame ring creates ~160 landmarks/KF for ~80 KFs: capacity
         # must hold the WHOLE loop or tracking starves when the map fills
         mapping=dataclasses.replace(cfg.mapping, max_keyframes=96,

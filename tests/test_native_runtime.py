@@ -63,3 +63,24 @@ def test_now_ns_monotonic():
     a = rt.now_ns()
     b = rt.now_ns()
     assert b >= a > 0
+
+
+def test_dataset_pipeline_end_to_end(tmp_path):
+    """The native prefetching reader feeds the real SLAM loop from disk and
+    the native event log exports spans (examples/run_dataset.py path)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [sys.executable, str(repo / "examples" / "run_dataset.py"),
+         "--frames", "10", "--cpu", "--dataset", str(tmp_path / "seq"),
+         "--record", str(tmp_path / "seq")],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "ATE RMSE" in out.stdout
+    assert (tmp_path / "seq" / "events.csv").exists()
+    rows = (tmp_path / "seq" / "events.csv").read_text().strip().splitlines()
+    assert len(rows) > 10  # header + h2d/slam_step spans
