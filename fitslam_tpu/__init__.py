@@ -19,6 +19,17 @@ utils     : config, profiling, logging, evaluation
 data      : synthetic worlds / sequence generators (test + bench fixtures)
 """
 
+import jax as _jax
+
+# On TPU, f32 dot/einsum default to bf16-input passes. That is right for the
+# big MXU ops (descriptor matmuls are exact in bf16: ±1 integer values), but
+# it silently degrades the small f32 GEOMETRY math — rotation chains,
+# J^T J / Schur blocks, triangulation — which compounds over hundreds of
+# frames (measured: the rotation-stressed loop benchmark diverges on TPU but
+# not on CPU). Those matmuls are tiny and HBM-irrelevant, so full f32 is
+# ~free; explicit bf16 inputs (descriptors, images) are unaffected.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from fitslam_tpu.version import __version__
 
 __all__ = ["__version__"]

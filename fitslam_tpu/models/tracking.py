@@ -196,7 +196,17 @@ def track_frame(
     # if tracking failed entirely, fall back to pure motion-model pose
     T_out = jax.tree.map(lambda a, b: jnp.where(tracked_ok, a, b), T_new, T_pred)
 
-    vel = lie.se3_log(lie.compose(T_out, lie.inverse(state.T_cw)))
+    # velocity updates only from VERIFIED motion. On a lost frame the
+    # motion-model pose must not feed back into the velocity: that compounds
+    # the constant-velocity extrapolation exponentially (pose runs away
+    # kilometers within ~50 lost frames) and poisons the prediction of every
+    # relocalization/reinit attempt. ORB-SLAM3 freezes at the last good pose
+    # while lost; we take one predicted step, then hold.
+    vel = jnp.where(
+        tracked_ok,
+        lie.se3_log(lie.compose(T_out, lie.inverse(state.T_cw))),
+        jnp.zeros((6,)),
+    )
     lm_match = jnp.where(mt.valid & inl, mt.idx_b, -1)
 
     new_state = state._replace(

@@ -39,6 +39,9 @@ def hamming_matrix(desc_a: jax.Array, desc_b: jax.Array,
         desc_a, desc_b,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # ±1 bf16 values are exact under f32 accumulation: pin bf16-input
+        # MXU speed against the library-wide f32 matmul default
+        precision=jax.lax.Precision.DEFAULT,
     )
     bits = desc_a.shape[-1]
     d = (bits - dot) * 0.5

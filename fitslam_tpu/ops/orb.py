@@ -232,6 +232,9 @@ def _descriptors(patches_smooth: jax.Array, angle: jax.Array) -> jax.Array:
         flat, jnp.asarray(_DIFF_MATRIX, jnp.bfloat16),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # explicitly bf16: the library-wide f32 matmul default (geometry
+        # accuracy) must not upcast this exact-enough MXU op
+        precision=jax.lax.Precision.DEFAULT,
     ).reshape(n, N_ANGLE_BINS, N_PAIRS)
     sel = jnp.take_along_axis(diffs, bin_f[:, None, None], axis=1)[:, 0, :]
     return jnp.where(sel < 0, 1.0, -1.0).astype(jnp.bfloat16)

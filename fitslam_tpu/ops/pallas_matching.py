@@ -35,7 +35,10 @@ def _top2_kernel(qa_ref, va_ref, db_ref, vb_ref,
     j = pl.program_id(0)
     BS = db_ref.shape[0]
     bits = qa_ref.shape[1]
-    dot = jnp.dot(qa_ref[:], db_ref[:].T, preferred_element_type=jnp.float32)
+    # pin bf16 contract precision: Mosaic rejects fp32 contract precision
+    # on bf16 operands (the library-wide f32 default would request it)
+    dot = jnp.dot(qa_ref[:], db_ref[:].T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
     dist = (bits - dot) * 0.5                               # (Na, BS)
     mask = va_ref[0, :][:, None] * vb_ref[0, :][None, :]
     dist = jnp.where(mask > 0.25, dist, BIGF)

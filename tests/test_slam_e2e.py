@@ -94,3 +94,46 @@ def test_landmark_service(corridor_run):
     assert int(ok.sum()) > 30
     z = np.asarray(p_c[np.asarray(ok), 2])
     assert (z > 0).all() and (np.linalg.norm(np.asarray(p_c[np.asarray(ok)]), axis=1) < 14.0).all()
+
+
+def test_lost_tracking_does_not_run_away():
+    """When tracking is lost, the pose takes ONE constant-velocity step and
+    then holds: the motion-model pose must not feed back into the velocity
+    (that compounds exponentially — kilometers of drift within 50 lost
+    frames, as seen on the rotation-stressed loop benchmark)."""
+    import jax.numpy as jnp
+
+    from fitslam_tpu.models import slam_map as smod
+    from fitslam_tpu.models import tracking as trk
+    from fitslam_tpu.ops import lie
+    from fitslam_tpu.ops.geometry import Intrinsics
+    from fitslam_tpu.ops.orb import FrameFeatures
+
+    K = Intrinsics(fx=jnp.float32(200.0), fy=jnp.float32(200.0),
+                   cx=jnp.float32(160.0), cy=jnp.float32(120.0),
+                   baseline=jnp.float32(0.2))
+    m = smod.empty_map(8, 256, 1024)  # empty map -> zero matches ever
+    n = 64
+    feats = FrameFeatures(
+        xy=jnp.zeros((n, 2)), response=jnp.zeros((n,)),
+        angle=jnp.zeros((n,)), level=jnp.zeros((n,), jnp.int32),
+        desc=jnp.ones((n, 256), jnp.bfloat16),
+        valid=jnp.zeros((n,), bool),
+    )
+    frame = trk.StereoFrame(feats, jnp.zeros((n,)))
+    vel = jnp.zeros((6,)).at[0].set(0.5)  # was moving 0.5 m/frame
+    state = trk.mark_keyframe(trk.init_track_state(), jnp.int32(50))
+    state = state._replace(velocity=vel)
+    t_start = np.asarray(state.T_cw.t)
+
+    poses = []
+    for _ in range(6):
+        state, lm_match, n_inl = trk.track_frame(K, m, state, frame,
+                                                 min_inliers=10)
+        poses.append(np.asarray(state.T_cw.t))
+        assert int(n_inl) == 0
+    # one predicted step, then frozen
+    d_total = np.linalg.norm(poses[-1] - t_start)
+    assert d_total < 0.5 + 1e-5, f"pose ran away {d_total} m while lost"
+    np.testing.assert_allclose(poses[-1], poses[1], atol=1e-6)
+    assert int(state.lost_frames) == 6
