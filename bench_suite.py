@@ -63,10 +63,10 @@ def _slam_cfg(small: bool):
                                      keyframe_min_interval=2,
                                      keyframe_translation=0.3,
                                      keyframe_rotation=0.15),
-        # the 200-frame ring creates ~160 landmarks/KF for ~80 KFs: capacity
+        # the ring loop creates ~160 landmarks/KF for ~100 KFs: capacity
         # must hold the WHOLE loop or tracking starves when the map fills
-        mapping=dataclasses.replace(cfg.mapping, max_keyframes=96,
-                                    max_landmarks=16384, max_observations=49152,
+        mapping=dataclasses.replace(cfg.mapping, max_keyframes=128,
+                                    max_landmarks=20480, max_observations=65536,
                                     local_window=4, ba_iters=3),
     ), (W, H)
 
@@ -92,7 +92,14 @@ def bench_loop_slam(small: bool, n_frames: int = 200):
     K = Intrinsics.from_config(cfg.camera)
     world = synthetic.ring_world(jax.random.PRNGKey(1), num=5000,
                                  radius=8.0, width=5.0)
-    T_gt = synthetic.loop_trajectory(n_frames + 8, radius=8.0)
+    # full circle + re-entry overlap so the revisit actually happens
+    T_ring = synthetic.loop_trajectory(n_frames, radius=8.0)
+    overlap = max(4, n_frames // 25)
+    T_gt = lie.SE3(
+        jnp.concatenate([T_ring.R, T_ring.R[:overlap]]),
+        jnp.concatenate([T_ring.t, T_ring.t[:overlap]]),
+    )
+    n_frames = n_frames + overlap
     frames = []
     for i in range(n_frames):
         Ti = lie.SE3(T_gt.R[i], T_gt.t[i])

@@ -159,6 +159,9 @@ def save_active_system(path: str, system) -> None:
             if ex._goal_xy is not None else np.zeros((0,)),
         },
     }
+    if getattr(system, "ekf", None) is not None:
+        groups["ekf_odom"] = pytree_to_arrays(system.ekf.odom_state)
+        groups["ekf_map"] = pytree_to_arrays(system.ekf.map_state)
     meta = {
         "kind": "active_slam",
         "frame_id": system.slam.frame_id,
@@ -211,6 +214,12 @@ def load_active_system(path: str, system) -> None:
     ex._search_radius = float(meta["search_radius"])
     ex._goal_heading = float(meta["goal_heading"])
     ex._goal_sent_tick = int(meta["goal_sent_tick"])
+    if getattr(system, "ekf", None) is not None and "ekf_map" in groups:
+        system.ekf.odom_state = arrays_to_pytree(system.ekf.odom_state,
+                                                 groups["ekf_odom"])
+        system.ekf.map_state = arrays_to_pytree(system.ekf.map_state,
+                                                groups["ekf_map"])
+        system._slam_fuse_counter = 1  # datum already seeded from checkpoint
     ex._goal_failures = {
         tuple(int(x) for x in k.split(",")): v
         for k, v in meta["goal_failures"].items()

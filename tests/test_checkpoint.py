@@ -173,3 +173,75 @@ def test_active_system_roundtrip(tmp_path):
                                           max_depth=12.0)
     info = sys_b.process_frame(left, right)
     assert info["n_inliers"] > 10
+
+
+def test_ekf_state_round_trips(tmp_path):
+    """EKF filter states (when the localization layer is enabled) survive
+    checkpoint/resume with the rest of the system."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from fitslam_tpu.models import localization as loc
+    from fitslam_tpu.utils import checkpoint as ck
+
+    class _FakeSlam:
+        def __init__(self):
+            from fitslam_tpu.models import slam_map as sm
+            from fitslam_tpu.models import tracking as tr
+
+            self.map = sm.empty_map(4, 64, 256)
+            self.state = tr.init_track_state()
+            self.trajectory = []
+            self.frame_id = 0
+            self._initialized = False
+
+    class _FakeExplorer:
+        def __init__(self):
+            from fitslam_tpu.models import roadmap as rm
+            from fitslam_tpu.models.exploration import (ExplorationDiagnostics,
+                                                        ExplorationState)
+
+            self.roadmap = rm.empty_roadmap(16)
+            self.lethal_overlay = jnp.zeros((8, 8), bool)
+            self.blacklist_xy = []
+            self.trailing_poses = []
+            self._goal_xy = None
+            self.state = ExplorationState.EXPLORING
+            self.diag = ExplorationDiagnostics()
+            self._search_radius = 5.0
+            self._goal_heading = 0.0
+            self._goal_sent_tick = -1
+            self._goal_failures = {}
+            self._fi_exhaustive_retry = False
+            self._fi_retries = 0
+            self._fi_drop_count = 0
+            self._recovery_ticks_left = 0
+
+    class _FakeSystem:
+        def __init__(self):
+            from fitslam_tpu.ops import grid as gr
+
+            self.slam = _FakeSlam()
+            self.explorer = _FakeExplorer()
+            self.clouds = __import__("fitslam_tpu.ops.grid", fromlist=["x"]
+                                     ).empty_cloud_buffer(4, 64)
+            self.T_anchor = None
+            self._grid_dirty = True
+            self.ekf = loc.DualEkf()
+            self._slam_fuse_counter = 0
+
+    sys1 = _FakeSystem()
+    sys1.ekf.add_odom(0.4, 0.0, 0.1)
+    sys1.ekf.add_pose(1.5, -2.0, 0.3)
+    sys1.ekf.flush()
+    path = str(tmp_path / "sys.npz")
+    ck.save_active_system(path, sys1)
+
+    sys2 = _FakeSystem()
+    ck.load_active_system(path, sys2)
+    np.testing.assert_allclose(np.asarray(sys2.ekf.map_state.x),
+                               np.asarray(sys1.ekf.map_state.x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sys2.ekf.odom_state.P),
+                               np.asarray(sys1.ekf.odom_state.P), atol=1e-6)
+    assert sys2._slam_fuse_counter == 1
