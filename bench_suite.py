@@ -124,9 +124,13 @@ def bench_loop_slam(small: bool, n_frames: int = 200):
     gt = [np.asarray(lie.SE3(T_gt.R[i], T_gt.t[i]).matrix())
           for i in range(n_frames)]
     ate = ev.ate_rmse(slam.trajectory, gt)
+    # TUM-style evaluation: past poses re-anchored through their reference
+    # keyframes' corrected poses (slam.corrected_trajectory)
+    ate_corr = ev.ate_rmse(slam.corrected_trajectory(), gt)
     _emit("loop_slam_frames_per_s_per_chip", fps, "frames/s",
           fps / BASELINE_FPS, {
-              "ate_rmse_m": round(ate, 4),
+              "ate_rmse_m": round(ate_corr, 4),
+              "ate_rmse_uncorrected_m": round(ate, 4),
               "loops_closed": len(slam.loop_events),
               "n_keyframes": int(slam.map.n_kf),
               "loop_closing_included": True,

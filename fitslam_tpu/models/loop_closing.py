@@ -145,13 +145,22 @@ class LoopCloser:
         K_cap = m.kf_valid.shape[0]
         max_odo = K_cap - 1
         odo = pgo.odometry_edges(m.kf_T_cw, m.n_kf, max_odo)
-        E_loop = len(self.loop_edges)
-        li = jnp.asarray([e[0] for e in self.loop_edges], jnp.int32)
-        lj = jnp.asarray([e[1] for e in self.loop_edges], jnp.int32)
-        lT = jnp.asarray(np.stack([e[2] for e in self.loop_edges]), jnp.float32)
+        # fixed-capacity loop-edge table: one compiled PGO shape regardless
+        # of how many loops have closed (newest kept when over capacity)
+        E_cap = cfg.max_loop_edges
+        recent = self.loop_edges[-E_cap:]
+        E_loop = len(recent)
+        li = np.zeros((E_cap,), np.int32)
+        lj = np.zeros((E_cap,), np.int32)
+        lT = np.tile(np.eye(4, dtype=np.float32), (E_cap, 1, 1))
+        li[:E_loop] = [e[0] for e in recent]
+        lj[:E_loop] = [e[1] for e in recent]
+        lT[:E_loop] = np.stack([e[2] for e in recent])
         loop_edges = pgo.PoseGraphEdges(
-            i=li, j=lj, T_ij=lie.SE3.from_matrix(lT),
-            weight=jnp.full((E_loop,), 5.0), valid=jnp.ones((E_loop,), bool),
+            i=jnp.asarray(li), j=jnp.asarray(lj),
+            T_ij=lie.SE3.from_matrix(jnp.asarray(lT)),
+            weight=jnp.full((E_cap,), 5.0),
+            valid=jnp.arange(E_cap) < E_loop,
         )
         edges = jax.tree.map(
             lambda a, b: jnp.concatenate([a, b], axis=0), odo, loop_edges

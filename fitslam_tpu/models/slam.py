@@ -40,6 +40,9 @@ class StereoSlam:
         self.state = tr.init_track_state()
         self.frame_id = 0
         self.trajectory: List[np.ndarray] = []   # T_wc 4x4 per frame
+        # (ref_kf_idx, T_wc_of_ref_kf_at_the_time 4x4) per frame — the
+        # anchors corrected_trajectory() re-composes through
+        self._traj_ref: List = []
         self.keyframe_events: List[Callable] = []
         self.log = event_logger or EventLogger(time_tier=MODULE)
         self._initialized = False
@@ -172,6 +175,16 @@ class StereoSlam:
             n_inl = int(outs.n_inliers)
             was_kf = bool(outs.was_keyframe)
 
+        # landmark slot recycling: a full landmark array makes new terrain
+        # unmappable and starves tracking (fixed-capacity long-run safety;
+        # see slam_map.compact_map)
+        mcfg = cfg.mapping
+        if (was_kf and mcfg.recycle_at_fraction > 0):
+            L_cap = self.map.lm_valid.shape[0]
+            if int(self.map.n_lm) > mcfg.recycle_at_fraction * L_cap:
+                self.map = sm.compact_map(
+                    self.map, target_fraction=mcfg.recycle_target_fraction)
+
         info: Dict = {
             "frame_id": self.frame_id,
             "keyframe": was_kf,
@@ -198,8 +211,31 @@ class StereoSlam:
                     info["loop"] = loop_info
                     self.loop_events.append(loop_info)
         self.trajectory.append(np.asarray(outs.pose_wc))
+        # reference-keyframe anchor for retroactive trajectory correction
+        # (ORB-SLAM3 rewrites past poses through their reference KF after
+        # loop closure / GBA; corrected_trajectory() does the same here)
+        ref_kf = max(int(self.map.n_kf) - 1, 0)
+        # keep the anchor ON DEVICE: no per-frame D2H in the hot loop; the
+        # tiny gather materializes lazily in corrected_trajectory()
+        self._traj_ref.append((ref_kf, lie.SE3(
+            self.map.kf_T_cw.R[ref_kf], self.map.kf_T_cw.t[ref_kf])))
         self.frame_id += 1
         return info
+
+    def corrected_trajectory(self):
+        """Trajectory with every frame re-anchored through its reference
+        keyframe's CURRENT pose — past poses follow loop-closure/GBA
+        corrections instead of keeping their at-the-time drift (the TUM-style
+        full-trajectory rewrite ORB-SLAM3 performs before evaluation)."""
+        if len(self._traj_ref) != len(self.trajectory):
+            return list(self.trajectory)  # async path: no per-frame anchors
+        kf_T_wc_now = np.asarray(lie.inverse(self.map.kf_T_cw).matrix())
+        out = []
+        for T_then, (k, T_cw_kf_then) in zip(self.trajectory, self._traj_ref):
+            kf_T_cw_then = np.asarray(T_cw_kf_then.matrix())
+            rel = kf_T_cw_then @ T_then          # frame pose in kf frame
+            out.append(kf_T_wc_now[k] @ rel)
+        return out
 
     # ------------------------------------------------------------------
     # Relocalization (ORB-SLAM3 place-recognition re-entry, S1)

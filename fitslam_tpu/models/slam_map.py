@@ -237,6 +237,78 @@ def reanchor_landmarks(m: SlamMap) -> SlamMap:
     return m._replace(lm_pos=jnp.where(m.lm_valid[:, None], p_w, m.lm_pos))
 
 
+@vjit(static_argnames=("target_fraction",))
+def compact_map(m: SlamMap, target_fraction: float = 0.75) -> SlamMap:
+    """Recycle landmark + observation slots: keep the most-recently-observed
+    landmarks, compact them (and their observations) to the front, and reset
+    the allocation counters so insertion can continue.
+
+    The reference never needs this — ORB-SLAM3's map grows with RAM — but
+    fixed-capacity device state does: when the landmark array fills, new
+    terrain becomes unmappable and tracking starves (the round-2 loop
+    benchmark hit exactly this). Recency is the eviction key (ORB-SLAM3's
+    long-term map pruning analog): a landmark's last observing keyframe is
+    one segment_max over the observation table. Down-sizes to
+    `target_fraction` of capacity so compaction amortizes. All downstream
+    index references (obs_lm) are remapped in the same kernel."""
+    L = m.lm_valid.shape[0]
+    O = m.obs_valid.shape[0]
+
+    # last keyframe that observed each landmark
+    last_kf = jax.ops.segment_max(
+        jnp.where(m.obs_valid, m.obs_kf, -1),
+        jnp.where(m.obs_valid, m.obs_lm, L),
+        num_segments=L + 1,
+    )[:L]
+    last_kf = jnp.where(m.lm_valid, jnp.maximum(last_kf, m.lm_anchor_kf), -1)
+
+    # keep the newest `target` landmarks: threshold at the recency quantile
+    target = int(L * target_fraction)
+    order = jnp.sort(last_kf)                  # ascending, invalid (-1) first
+    cutoff = order[L - target]                 # keep last_kf >= cutoff
+    keep = m.lm_valid & (last_kf >= cutoff)
+
+    # compact landmarks: old slot -> new slot (stable order)
+    new_idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dst = jnp.where(keep, new_idx, L)          # L = dropped bucket
+
+    def move(a):
+        buf = jnp.zeros((L + 1,) + a.shape[1:], a.dtype)
+        return buf.at[dst].set(a, mode="drop")[:L]
+
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    lm_valid = jnp.arange(L) < n_keep
+
+    # remap + compact observations of kept landmarks
+    old2new = jnp.where(keep, new_idx, L)
+    obs_keep = m.obs_valid & keep[jnp.minimum(m.obs_lm, L - 1)]
+    obs_new_lm = old2new[jnp.minimum(m.obs_lm, L - 1)]
+    obs_idx = jnp.cumsum(obs_keep.astype(jnp.int32)) - 1
+    obs_dst = jnp.where(obs_keep, obs_idx, O)
+
+    def move_obs(a):
+        buf = jnp.zeros((O + 1,) + a.shape[1:], a.dtype)
+        return buf.at[obs_dst].set(a, mode="drop")[:O]
+
+    n_obs_keep = jnp.sum(obs_keep.astype(jnp.int32))
+    obs_valid_new = jnp.arange(O) < n_obs_keep
+    return m._replace(
+        lm_pos=move(m.lm_pos),
+        lm_desc=move(m.lm_desc),
+        lm_valid=lm_valid,
+        lm_nobs=move(m.lm_nobs),
+        lm_anchor_kf=move(m.lm_anchor_kf),
+        lm_pos_anchor=move(m.lm_pos_anchor),
+        obs_kf=move_obs(m.obs_kf),
+        obs_lm=move_obs(obs_new_lm),
+        obs_uvr=move_obs(m.obs_uvr),
+        obs_sigma2=jnp.where(obs_valid_new, move_obs(m.obs_sigma2), 1.0),
+        obs_valid=obs_valid_new,
+        n_lm=n_keep,
+        n_obs=n_obs_keep,
+    )
+
+
 @vjit
 def cull_landmarks(m: SlamMap, min_obs: int = 2, grace_kf: int = 2) -> SlamMap:
     """Invalidate under-observed landmarks once their anchor KF is old enough

@@ -87,6 +87,11 @@ class MappingConfig:
     cull_min_observations: int = 2
     reproj_chi2_mono: float = 5.991
     reproj_chi2_stereo: float = 7.815
+    # landmark/observation slot recycling (fixed-capacity long-run safety):
+    # when n_lm exceeds recycle_at * capacity, evict the least-recently-
+    # observed landmarks down to recycle_target * capacity (0 disables)
+    recycle_at_fraction: float = 0.92
+    recycle_target_fraction: float = 0.7
 
 
 @dataclass(frozen=True)
@@ -103,6 +108,10 @@ class LoopConfig:
     # perceptual aliasing)
     consistency_threshold: int = 1
     consistency_radius_kf: int = 5  # candidates within this many KFs = same region
+    # fixed capacity for accumulated loop edges: the PGO problem keeps ONE
+    # compiled shape instead of recompiling per loop closure (oldest edges
+    # are dropped beyond this)
+    max_loop_edges: int = 32
     pgo_iters: int = 12
     run_global_ba: bool = True      # GBA after PGO (loop-closing thread, §3.4)
     gba_iters: int = 8

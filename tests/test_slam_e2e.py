@@ -137,3 +137,45 @@ def test_lost_tracking_does_not_run_away():
     assert d_total < 0.5 + 1e-5, f"pose ran away {d_total} m while lost"
     np.testing.assert_allclose(poses[-1], poses[1], atol=1e-6)
     assert int(state.lost_frames) == 6
+
+
+def test_landmark_recycling_prevents_starvation():
+    """With a deliberately tiny landmark capacity, a long corridor fills the
+    map; recycling evicts stale landmarks so tracking keeps latching onto
+    NEW terrain. With recycling off, tracking starves once the map is full."""
+    def run(recycle: bool):
+        cfg = _small_cfg()
+        cfg = dataclasses.replace(
+            cfg,
+            mapping=dataclasses.replace(
+                cfg.mapping, max_keyframes=32, max_landmarks=768,
+                max_observations=4096, local_window=3, ba_iters=2,
+                recycle_at_fraction=0.9 if recycle else 0.0,
+                recycle_target_fraction=0.6,
+            ),
+        )
+        K = Intrinsics.from_config(cfg.camera)
+        world = synthetic.corridor_world(jax.random.PRNGKey(1), num=2400,
+                                         length=40.0, width=5.0)
+        n_frames = 40
+        T_gt = synthetic.straight_trajectory(n_frames, length=14.0,
+                                             height=1.2, start_x=0.5)
+        slam = StereoSlam(cfg)
+        inliers = []
+        for i in range(n_frames):
+            l, r = synthetic.render_stereo(
+                K, world, lie.SE3(T_gt.R[i], T_gt.t[i]),
+                width=W, height=H, max_depth=12.0)
+            info = slam.process_frame(l, r)
+            inliers.append(info["n_inliers"])
+        return slam, inliers
+
+    slam_on, inl_on = run(recycle=True)
+    # capacity respected and recycling actually fired
+    assert int(slam_on.map.n_lm) <= 768
+    # tracking healthy at the END of the run (new terrain still mappable)
+    assert np.mean(inl_on[-6:]) > 30, inl_on[-6:]
+
+    slam_off, inl_off = run(recycle=False)
+    # without recycling the tail starves (strictly worse than with it)
+    assert np.mean(inl_off[-6:]) < np.mean(inl_on[-6:])

@@ -263,3 +263,51 @@ def test_cull_landmarks():
     m2 = sm.cull_landmarks(m, min_obs=2, grace_kf=2)
     assert int(m2.lm_valid.sum()) == 0  # all single-obs landmarks culled
     assert int(m2.obs_valid.sum()) == 0
+
+
+def test_compact_map_recycles_stale_landmarks():
+    """compact_map keeps the most-recently-observed landmarks, remaps the
+    observation table consistently, and frees slots so insertion continues
+    (fixed-capacity long-run safety; the loop benchmark starved without it)."""
+    import jax.numpy as jnp
+
+    from fitslam_tpu.models import slam_map as smod
+
+    L, O = 64, 256
+    m = smod.empty_map(8, L, O)
+    rng = np.random.RandomState(0)
+    pos = rng.randn(L, 3).astype(np.float32)
+    # 48 valid landmarks: 0..23 last seen by KF 1 (stale), 24..47 by KF 5
+    m = m._replace(
+        lm_pos=jnp.asarray(pos),
+        lm_valid=jnp.arange(L) < 48,
+        lm_nobs=jnp.where(jnp.arange(L) < 48, 2, 0),
+        lm_anchor_kf=jnp.zeros((L,), jnp.int32),
+        n_lm=jnp.int32(48),
+        n_kf=jnp.int32(6),
+    )
+    obs_lm = np.arange(48, dtype=np.int32)
+    obs_kf = np.where(obs_lm < 24, 1, 5).astype(np.int32)
+    m = m._replace(
+        obs_lm=jnp.zeros((O,), jnp.int32).at[:48].set(jnp.asarray(obs_lm)),
+        obs_kf=jnp.zeros((O,), jnp.int32).at[:48].set(jnp.asarray(obs_kf)),
+        obs_uvr=jnp.zeros((O, 3)).at[:48, 0].set(jnp.arange(48, dtype=jnp.float32)),
+        obs_valid=jnp.arange(O) < 48,
+        n_obs=jnp.int32(48),
+    )
+
+    out = smod.compact_map(m, target_fraction=0.375)  # keep 24 of 64 slots
+    assert int(out.n_lm) == 24
+    assert int(out.n_obs) == 24
+    # survivors are exactly the KF-5-observed landmarks, positions preserved
+    kept = np.asarray(out.lm_pos[:24])
+    np.testing.assert_allclose(np.sort(kept, axis=0),
+                               np.sort(pos[24:48], axis=0), atol=1e-6)
+    # observation remap is consistent: each obs points at the landmark whose
+    # u-coordinate stamp matches its original landmark id
+    o_lm = np.asarray(out.obs_lm[:24])
+    o_u = np.asarray(out.obs_uvr[:24, 0])
+    np.testing.assert_allclose(np.asarray(out.lm_pos)[o_lm],
+                               pos[o_u.astype(int)], atol=1e-6)
+    # freed slots accept new landmarks again
+    assert not bool(out.lm_valid[30])
