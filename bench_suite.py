@@ -431,9 +431,12 @@ print(json.dumps({"t1_s": round(t1, 3), "t2_s": round(t2, 3),
               "chi2_parity_all_mesh_sizes": (
                   abs(stats["chi2_1dev"] - stats["chi2_8dev"]) < 1.0
                   and abs(stats["chi2_1dev"] - stats["chi2_2dev"]) < 1.0),
-              "note": "2 physical cores / 1 physical chip: 2-dev mesh is the "
-                      "only size with a core per device; 8-dev checked for "
-                      "numerical parity + per-device memory, not wall-clock",
+              "note": "2 physical cores / 1 physical chip: XLA:CPU already "
+                      "multithreads the 1-device run across both cores, so "
+                      "CPU wall-clock speedup is structurally <=1 here; the "
+                      "meaningful signals are exact chi2 parity at every "
+                      "mesh size and the 1/n_dev per-device memory for Y. "
+                      "True ICI scaling needs a real multi-chip slice.",
           })
 
 
@@ -459,11 +462,7 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     for name, fn in MODES.items():
-        if args.mode not in ("all", name):
-            continue
-        if name in ("loop_slam", "rgbd_fusion", "active_slam"):
-            fn(args.small)
-        else:
+        if args.mode in ("all", name):
             fn(args.small)
 
 

@@ -256,9 +256,13 @@ class Costmap:
     def grid(self, robot_xy=None) -> Tuple[jax.Array, GridSpec2D]:
         g = self._ops
         src = self.get_static()
-        key = (id(src), None if self.get_overlay is None
-               else id(self.get_overlay()))
-        if key == self._cache_key:
+        overlay = None if self.get_overlay is None else self.get_overlay()
+        # identity-compare against STRONG references: holding src/overlay in
+        # the key keeps them alive, so `is` can't false-hit on a recycled id
+        key = (src, overlay)
+        if (self._cache_key is not None
+                and key[0] is self._cache_key[0]
+                and key[1] is self._cache_key[1]):
             occ, spec = self._cache_val
         else:
             occ = self._compose(src)

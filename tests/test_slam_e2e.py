@@ -179,3 +179,30 @@ def test_landmark_recycling_prevents_starvation():
     slam_off, inl_off = run(recycle=False)
     # without recycling the tail starves (strictly worse than with it)
     assert np.mean(inl_off[-6:]) < np.mean(inl_on[-6:])
+
+
+def test_corrected_trajectory_follows_keyframe_updates():
+    """Past frame poses re-anchor through their reference keyframe's CURRENT
+    pose: moving a keyframe (as PGO/GBA would) moves its frames with it."""
+    import jax.numpy as jnp
+
+    from fitslam_tpu.ops import lie as lieop
+
+    cfg = _small_cfg()
+    slam = StereoSlam(cfg)
+    # reference KF at the time: identity; frame 1.0 m ahead of it
+    T_kf_then = lieop.SE3.identity()
+    T_frame_wc = np.asarray(lieop.SE3(jnp.eye(3), jnp.array([1.0, 0, 0])).matrix())
+    slam.trajectory = [T_frame_wc]
+    slam._traj_ref = [(0, T_kf_then)]  # stores T_cw of the kf at the time
+    # PGO moved KF0 by +2 m in y (kf_T_cw = inverse of its world pose)
+    T_kf_now_wc = lieop.SE3(jnp.eye(3), jnp.array([0.0, 2.0, 0.0]))
+    slam.map = slam.map._replace(
+        kf_T_cw=jax.tree.map(
+            lambda a, b: a.at[0].set(b),
+            slam.map.kf_T_cw, lieop.inverse(T_kf_now_wc)),
+        kf_valid=slam.map.kf_valid.at[0].set(True),
+        n_kf=jnp.int32(1),
+    )
+    out = slam.corrected_trajectory()
+    np.testing.assert_allclose(out[0][:3, 3], [1.0, 2.0, 0.0], atol=1e-6)
