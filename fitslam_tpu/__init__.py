@@ -19,16 +19,18 @@ utils     : config, profiling, logging, evaluation
 data      : synthetic worlds / sequence generators (test + bench fixtures)
 """
 
-import jax as _jax
-
-# On TPU, f32 dot/einsum default to bf16-input passes. That is right for the
-# big MXU ops (descriptor matmuls are exact in bf16: ±1 integer values), but
-# it silently degrades the small f32 GEOMETRY math — rotation chains,
-# J^T J / Schur blocks, triangulation — which compounds over hundreds of
-# frames (measured: the rotation-stressed loop benchmark diverges on TPU but
-# not on CPU). Those matmuls are tiny and HBM-irrelevant, so full f32 is
-# ~free; explicit bf16 inputs (descriptors, images) are unaffected.
-_jax.config.update("jax_default_matmul_precision", "float32")
+# Mixed-precision policy (round-3 root cause of the r02 throughput
+# regression): round 2 set the PROCESS-GLOBAL jax_default_matmul_precision to
+# float32 to stop the geometry math (rotation chains, J^T J / Schur blocks,
+# triangulation) from compounding bf16 error over hundreds of frames — which
+# fixed the rotation-stressed loop bench but silently dragged every conv and
+# matmul in the IMAGE frontend (pyramid blur, orientation/BRIEF gathers) onto
+# the 6-pass f32 path, costing ~35% end-to-end frames/s, and mutated global
+# JAX config on import (ADVICE r2). The policy is now scoped per-op instead:
+# ops/lie.py, ops/ba.py, ops/pgo.py, ops/geometry.py and ops/fisher.py pin
+# Precision.HIGHEST on their (tiny, HBM-irrelevant) geometry contractions;
+# the big MXU ops (descriptor matmuls — exact in bf16: ±1 values — and image
+# convolutions) keep the fast default. No global config is touched.
 
 from fitslam_tpu.version import __version__
 

@@ -206,6 +206,130 @@ def _splat(u, v, lum, height, width, sigma):
 
 
 # ---------------------------------------------------------------------------
+# Marsyard heightfield world (rough-terrain rover scenario)
+# ---------------------------------------------------------------------------
+
+
+class MarsyardWorld(NamedTuple):
+    """Heightfield terrain world (the marsyard scenario of the reference,
+    README.md:3-12): a rover must route around slope-lethal ridge flanks and
+    roughness-lethal boulder fields, through a safe corridor.
+
+    `world` feeds the visual frontend and frustum clouds; `height_fn` is the
+    analytic terrain height; `gt_lethal` is the ground-truth untraversable
+    cell mask under the traversabilityParams.yaml:8-16 semantics (max_slope
+    0.7, ground_clearance-scaled roughness)."""
+
+    world: World
+    gt_lethal: np.ndarray       # (G, G) bool
+    gt_height: np.ndarray      # (G, G) float cell-mean height
+    ridge_x: float
+    corridor_y: float
+
+
+def _marsyard_height(x, y, rocks_xyhr):
+    """Analytic terrain height (numpy, broadcasts): gentle undulation + a
+    ridge wall along x=ridge_x with a flat corridor gap at y~corridor_y +
+    boulder clusters."""
+    base = 0.12 * np.sin(0.45 * x) * np.cos(0.35 * y)
+    # ridge: steep gaussian wall crossing the arena, gap near y=0
+    ridge = 1.8 * np.exp(-((x - 1.0) / 1.1) ** 2)
+    gap = 1.0 - np.exp(-(y / 1.8) ** 2)
+    h = base + ridge * gap
+    # boulders: tall narrow bumps (slope- and roughness-lethal)
+    for (rx, ry, rh, rr) in rocks_xyhr:
+        d2 = (x - rx) ** 2 + (y - ry) ** 2
+        h = h + rh * np.exp(-d2 / (rr * rr))
+    return h
+
+
+def marsyard_world(
+    spec,                       # GridSpec2D
+    seed: int = 0,
+    points_per_cell: int = 12,
+    max_slope: float = 0.7,
+    ground_clearance: float = 0.17,
+    robot_height: float = 1.5,
+    lethal_threshold: int = 55,
+) -> MarsyardWorld:
+    """Procedural marsyard: heightfield surface sampled into a dense point
+    world (visual features + traversability clouds) + ground-truth lethal
+    classification for assertions.
+
+    The ridge flanks exceed `max_slope` (lethal by slope), the boulder
+    clusters exceed the roughness bound (lethal by roughness/step), and the
+    corridor at y~0 stays traversable — reference scenario parameters from
+    traversabilityParams.yaml:8-16."""
+    rng = np.random.RandomState(seed)
+    G = spec.size
+    ext = spec.extent
+
+    # boulder clusters on the rover's side of the ridge
+    rocks = []
+    for (cx, cy) in [(-3.5, 3.5), (-4.0, -3.8)]:
+        for _ in range(10):
+            rocks.append((
+                cx + rng.uniform(-1.2, 1.2),
+                cy + rng.uniform(-1.2, 1.2),
+                rng.uniform(0.6, 1.0),      # height
+                rng.uniform(0.14, 0.22),    # radius
+            ))
+
+    # dense surface sampling: points_per_cell uniform samples per grid cell
+    n_pts = G * G * points_per_cell
+    xs = spec.origin_x + rng.uniform(0.0, ext, n_pts)
+    ys = spec.origin_y + rng.uniform(0.0, ext, n_pts)
+    zs = _marsyard_height(xs, ys, rocks)
+    pts = np.stack([xs, ys, zs], axis=-1).astype(np.float32)
+
+    # ground-truth per-cell classification with the SAME semantics the fused
+    # grid applies (ops/grid.stats_to_grid + threshold_grid at
+    # lethal_threshold): cost01 = max(slope/max_slope, rough/clearance,
+    # step/robot_height), untraversable where round(cost01*200) >= threshold
+    ci = np.clip(((xs - spec.origin_x) / spec.resolution).astype(int), 0, G - 1)
+    cj = np.clip(((ys - spec.origin_y) / spec.resolution).astype(int), 0, G - 1)
+    flat = cj * G + ci
+    cnt = np.bincount(flat, minlength=G * G).astype(np.float64)
+    s_z = np.bincount(flat, weights=zs, minlength=G * G)
+    s_z2 = np.bincount(flat, weights=zs * zs, minlength=G * G)
+    mean_z = (s_z / np.maximum(cnt, 1.0)).reshape(G, G)
+    var_z = (s_z2 / np.maximum(cnt, 1.0)).reshape(G, G) - mean_z ** 2
+    rough = np.sqrt(np.maximum(var_z, 0.0))
+    z_mx = np.full(G * G, -np.inf)
+    np.fmax.at(z_mx, flat, zs)
+    z_mn = np.full(G * G, np.inf)
+    np.fmin.at(z_mn, flat, zs)
+    step = np.where(cnt > 0, z_mx - z_mn, 0.0).reshape(G, G)
+    gy, gx = np.gradient(mean_z, spec.resolution)
+    slope = np.sqrt(gx * gx + gy * gy)
+    cost01 = np.maximum.reduce([
+        np.clip(slope / max_slope, 0.0, 1.0),
+        np.clip(rough / ground_clearance, 0.0, 1.0),
+        np.clip(step / robot_height, 0.0, 1.0),
+    ])
+    hard = (slope > max_slope) | (step > robot_height * 0.5) | (
+        rough > 2.0 * ground_clearance)
+    gt_lethal = (np.round(cost01 * 200.0) >= lethal_threshold) | hard
+
+    return MarsyardWorld(
+        world=World(jnp.asarray(pts)),
+        gt_lethal=gt_lethal,
+        gt_height=mean_z,
+        ridge_x=1.0,
+        corridor_y=0.0,
+    )
+
+
+def marsyard_surface_z(x: float, y: float, mw: MarsyardWorld, spec) -> float:
+    """Terrain height under (x, y) from the ground-truth cell means (host
+    helper for placing the rover's camera on the surface)."""
+    G = spec.size
+    ci = int(np.clip((x - spec.origin_x) / spec.resolution, 0, G - 1))
+    cj = int(np.clip((y - spec.origin_y) / spec.resolution, 0, G - 1))
+    return float(mw.gt_height[cj, ci])
+
+
+# ---------------------------------------------------------------------------
 # 3D worlds derived from occupancy grids (active-SLAM simulation)
 # ---------------------------------------------------------------------------
 

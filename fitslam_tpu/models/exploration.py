@@ -440,21 +440,20 @@ class ExplorationServer:
         )
         d_nodes = jnp.where(self.roadmap.valid[None, :], d_nodes, rmx.INF)
         costs = costs._replace(node_idx=jnp.argmin(d_nodes, axis=1).astype(jnp.int32))
-        robot_dist, self._bf_parent, self._bf_src = rmx.shortest_paths(
-            self.roadmap, jnp.asarray(robot_xy, jnp.float32)
-        )
         sel, sel_valid, g_idx = cx.select_locals(
             costs, fr, blacklisted, self.cfg.path_optimizer.local_path_threshold_m
         )
         if int(sel_valid.sum()) == 0 and int(g_idx) < 0:
             return None
-        # BF rows: robot + each selected local
-        rows = [robot_dist]
-        for i in range(cx.MAX_LOCAL):
-            xy = fr.goal_xy[sel[i]]
-            d, _, _ = rmx.shortest_paths(self.roadmap, xy)
-            rows.append(d)
-        pairwise = jnp.stack(rows)
+        # all BF rows (robot + every selected local) in ONE batched dispatch:
+        # pairwise row 0 = robot, rows 1.. = locals in selection order
+        srcs = jnp.concatenate(
+            [jnp.asarray(robot_xy, jnp.float32)[None, :], fr.goal_xy[sel]], axis=0
+        )
+        dists, parents, src_nodes = rmx.shortest_paths_multi(self.roadmap, srcs)
+        self._bf_parent = parents[0]
+        self._bf_src = src_nodes[0]
+        pairwise = dists
         g_node = jnp.where(g_idx >= 0, costs.node_idx[jnp.maximum(g_idx, 0)], -1)
         plan = cx.optimize_full_path(
             costs, fr, blacklisted, pairwise, sel, sel_valid, g_node

@@ -38,6 +38,12 @@ from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from functools import partial
+
+# 15x15 covariance products compound over thousands of filter steps: pin
+# full-f32 MXU passes (see ops/lie.py precision note)
+_mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 import numpy as np
 
 from fitslam_tpu.utils.jit import vjit
@@ -135,9 +141,9 @@ def _transition_jacobian(x: jax.Array, dt: jax.Array) -> jax.Array:
 
 def ekf_predict(state: EkfState, dt: jax.Array, Q: jax.Array) -> EkfState:
     F = _transition_jacobian(state.x, dt)
-    x = F @ state.x
+    x = _mm(F, state.x)
     x = x.at[ROLL : YAW + 1].set(_wrap_angle(x[ROLL : YAW + 1]))
-    P = F @ state.P @ F.T + Q * jnp.maximum(dt, 0.0)
+    P = _mm(_mm(F, state.P), F.T) + Q * jnp.maximum(dt, 0.0)
     return EkfState(x=x, P=P)
 
 
@@ -161,15 +167,15 @@ def ekf_update(
     # exactly robot_localization's checkMahalanobisThreshold (no dimension
     # scaling; *_rejection_threshold semantics)
     sol = jnp.linalg.solve(S, innov)
-    m2 = innov @ sol
+    m2 = _mm(innov, sol)
     accepted = jnp.where(gate > 0.0, m2 <= gate * gate, True)
     K = jnp.linalg.solve(S.T, state.P.T).T  # P S^-1
     K = K * jnp.where(accepted, 1.0, 0.0)
-    x = state.x + K @ innov
+    x = state.x + _mm(K, innov)
     x = x.at[ROLL : YAW + 1].set(_wrap_angle(x[ROLL : YAW + 1]))
     I_KH = jnp.eye(STATE_DIM) - K
     # Joseph form for numerical symmetry
-    P = I_KH @ state.P @ I_KH.T + K @ jnp.diag(Rd) @ K.T
+    P = _mm(_mm(I_KH, state.P), I_KH.T) + _mm(_mm(K, jnp.diag(Rd)), K.T)
     return EkfState(x=x, P=P), accepted
 
 
@@ -294,9 +300,19 @@ class DualEkf:
         absolute roll/pitch/yaw orientation, matching imu0_config which fuses
         orientation in both filters (ekf_with_gps.yaml). Without the
         orientation row yaw would be pure dead-reckoning from integrated
-        rates and drift unbounded."""
+        rates and drift unbounded.
+
+        The Mahalanobis `gate` applies ONLY to the absolute-orientation row.
+        The rate row is the filter's primary (and only) angular-rate source:
+        gating it against a converged rate covariance rejects every genuine
+        step change in omega (a rotate-to-heading command jumps +/-0.9 rad/s
+        at once), and since a rejected update never shrinks the innovation
+        the gyro then stays rejected for hundreds of steps while yaw runs on
+        zero rate — exactly when dead-reckoning matters most. Primary sensors
+        are fused ungated (unset *_rejection_threshold semantics in
+        robot_localization)."""
         row = sensor_row(IMU_MASK, np.array([wx, wy, wz]), np.full(3, var),
-                         dt, gate)
+                         dt, 0.0)
         self._odom_rows.append(row)
         self._map_rows.append(row)
         if roll is not None:

@@ -64,7 +64,10 @@ def wavefront_potential(
     goal_flat = jnp.clip(cell[1] * G + cell[0], 0, G * G - 1)
     pot0 = jnp.full((G * G,), BIG).at[goal_flat].set(0.0).reshape(G, G)
 
-    if jax.default_backend() == "tpu":
+    # the fused Pallas sweep keeps all three (G, G) f32 arrays + the output
+    # resident in VMEM (~16 MB budget); above ~900x900 that fails to compile
+    # where the XLA roll-sweep loop still works, so gate on grid size
+    if jax.default_backend() == "tpu" and 4 * 4 * G * G <= 12 * 1024 * 1024:
         # fused Pallas sweep loop: the grid stays in VMEM for all `iters`
         # sweeps instead of a full HBM round-trip per sweep (ops/pallas_grid)
         from fitslam_tpu.ops.pallas_grid import wavefront_sweeps

@@ -167,8 +167,7 @@ def connect_edges(
     )
 
 
-@vjit(static_argnames=("iters",))
-def shortest_paths(
+def _shortest_paths(
     rm: Roadmap,
     source_xy: jax.Array,     # (2,) world position (snapped to nearest node)
     iters: int = 64,
@@ -204,6 +203,22 @@ def shortest_paths(
     dist, parent = jax.lax.fori_loop(0, iters, body, (dist0, parent0))
     dist = jnp.where(rm.valid, dist, INF)
     return dist, parent, src
+
+
+shortest_paths = vjit(_shortest_paths, static_argnames=("iters",))
+
+@vjit(static_argnames=("iters",))
+def shortest_paths_multi(
+    rm: Roadmap,
+    sources_xy: jax.Array,    # (S, 2) world positions
+    iters: int = 64,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Multi-source Bellman-Ford: ((S, N) dist, (S, N) parent, (S,) source
+    node). One dispatch prices every TSP leg of the tick — the relaxation
+    already touches all (N, E) labels per source, so vmapping over sources
+    widens the gathers instead of re-dispatching S times (reference
+    counterpart: the per-pair cached A* of FullPathOptimizer.cpp:371-420)."""
+    return jax.vmap(lambda s: _shortest_paths(rm, s, iters))(sources_xy)
 
 
 @vjit

@@ -233,7 +233,8 @@ def reanchor_landmarks(m: SlamMap) -> SlamMap:
     T_anchor_cw = lie.SE3(m.kf_T_cw.R[m.lm_anchor_kf], m.kf_T_cw.t[m.lm_anchor_kf])
     T_anchor_wc = lie.inverse(T_anchor_cw)
     # rowwise: (L,) SE3 batch applied to (L, 3)
-    p_w = (T_anchor_wc.R @ m.lm_pos_anchor[..., :, None])[..., 0] + T_anchor_wc.t
+    p_w = (jnp.matmul(T_anchor_wc.R, m.lm_pos_anchor[..., :, None],
+                      precision=jax.lax.Precision.HIGHEST))[..., 0] + T_anchor_wc.t
     return m._replace(lm_pos=jnp.where(m.lm_valid[:, None], p_w, m.lm_pos))
 
 
@@ -262,11 +263,17 @@ def compact_map(m: SlamMap, target_fraction: float = 0.75) -> SlamMap:
     )[:L]
     last_kf = jnp.where(m.lm_valid, jnp.maximum(last_kf, m.lm_anchor_kf), -1)
 
-    # keep the newest `target` landmarks: threshold at the recency quantile
+    # keep the newest `target` landmarks. Recency keys are heavily tied
+    # (landmarks observed by the same keyframe share last_kf), so a raw
+    # quantile cutoff can land inside a tie and keep (almost) everything —
+    # turning compaction into a no-op that re-runs every keyframe while the
+    # map stays full. Break ties deterministically by slot index so the key
+    # is unique and the threshold frees exactly down to `target`.
     target = int(L * target_fraction)
-    order = jnp.sort(last_kf)                  # ascending, invalid (-1) first
-    cutoff = order[L - target]                 # keep last_kf >= cutoff
-    keep = m.lm_valid & (last_kf >= cutoff)
+    score = jnp.where(m.lm_valid, last_kf * L + jnp.arange(L, dtype=last_kf.dtype), -1)
+    order = jnp.sort(score)                    # ascending, invalid (-1) first
+    cutoff = order[L - target]                 # keep score >= cutoff (unique keys)
+    keep = m.lm_valid & (score >= cutoff)
 
     # compact landmarks: old slot -> new slot (stable order)
     new_idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
@@ -462,7 +469,8 @@ def global_ba(m: SlamMap, K: Intrinsics, iters: int = 8):
     )
     # refresh anchor-frame landmark positions: every anchor may have moved
     anchor_T = lie.SE3(m.kf_T_cw.R[m.lm_anchor_kf], m.kf_T_cw.t[m.lm_anchor_kf])
-    p_anchor = (anchor_T.R @ m.lm_pos[..., :, None])[..., 0] + anchor_T.t
+    p_anchor = (jnp.matmul(anchor_T.R, m.lm_pos[..., :, None],
+                           precision=jax.lax.Precision.HIGHEST))[..., 0] + anchor_T.t
     m = m._replace(
         lm_pos_anchor=jnp.where(m.lm_valid[:, None], p_anchor, m.lm_pos_anchor)
     )
@@ -513,7 +521,8 @@ def local_ba(
     )
     anchor_in = inv[m.lm_anchor_kf] >= 0
     anchor_T = lie.SE3(m.kf_T_cw.R[m.lm_anchor_kf], m.kf_T_cw.t[m.lm_anchor_kf])
-    p_anchor = (anchor_T.R @ m.lm_pos[..., :, None])[..., 0] + anchor_T.t
+    p_anchor = (jnp.matmul(anchor_T.R, m.lm_pos[..., :, None],
+                           precision=jax.lax.Precision.HIGHEST))[..., 0] + anchor_T.t
     m = m._replace(
         lm_pos_anchor=jnp.where((m.lm_valid & anchor_in)[:, None], p_anchor, m.lm_pos_anchor)
     )

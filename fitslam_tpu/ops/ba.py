@@ -33,6 +33,14 @@ from fitslam_tpu.utils.jit import vjit
 from fitslam_tpu.ops import lie
 from fitslam_tpu.ops.geometry import Intrinsics, huber_weight
 
+# Geometry/normal-equation contractions pin full-f32 MXU passes: bf16-input
+# accumulation visibly degrades J^T J conditioning and pose chains (see
+# ops/lie.py note). These tensors are tiny relative to HBM bandwidth, so
+# HIGHEST costs ~nothing here while the image/descriptor ops keep the fast
+# default.
+_einsum = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+_mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
 
 class Observations(NamedTuple):
     """Fixed-capacity observation table (structure of arrays)."""
@@ -63,7 +71,7 @@ def _residual_and_jac(K: Intrinsics, T_cw: lie.SE3, p_w, uvr, stereo_mask):
     Left-perturbation convention: T' = exp(dxi) @ T_cw, so
     d p_c / d xi = [ I  -[p_c]x ].
     """
-    p_c = (T_cw.R @ p_w[..., None])[..., 0] + T_cw.t
+    p_c = (_mm(T_cw.R, p_w[..., None]))[..., 0] + T_cw.t
     x, y, z = p_c[0], p_c[1], p_c[2]
     z_ok = z > 1e-2
     zs = jnp.where(z_ok, z, 1.0)
@@ -83,8 +91,8 @@ def _residual_and_jac(K: Intrinsics, T_cw: lie.SE3, p_w, uvr, stereo_mask):
     J_pc = jnp.stack([row_u, row_v, row_r * jnp.where(stereo_mask, 1.0, 0.0)])
 
     # dp_c/dxi = [I | -skew(p_c)], dp_c/dp_w = R
-    J_pose = jnp.concatenate([J_pc, -J_pc @ lie.skew(p_c)], axis=1)  # (3, 6)
-    J_point = J_pc @ T_cw.R                                           # (3, 3)
+    J_pose = jnp.concatenate([J_pc, -_mm(J_pc, lie.skew(p_c))], axis=1)  # (3, 6)
+    J_point = _mm(J_pc, T_cw.R)                                       # (3, 3)
     return res, J_pose, J_point, z_ok
 
 
@@ -134,16 +142,16 @@ def _schur_solve(
 
     # Block Hessians via segment reductions
     Hpp = jax.ops.segment_sum(
-        jnp.einsum("oij,oik->ojk", Jp_w, J_pose), obs.kf, num_segments=K_n
+        _einsum("oij,oik->ojk", Jp_w, J_pose), obs.kf, num_segments=K_n
     )  # (K, 6, 6)
     Hll = jax.ops.segment_sum(
-        jnp.einsum("oij,oik->ojk", Jl_w, J_point), obs.lm, num_segments=L_n
+        _einsum("oij,oik->ojk", Jl_w, J_point), obs.lm, num_segments=L_n
     )  # (L, 3, 3)
-    bp = -jax.ops.segment_sum(jnp.einsum("oij,oi->oj", Jp_w, res), obs.kf, num_segments=K_n)
-    bl = -jax.ops.segment_sum(jnp.einsum("oij,oi->oj", Jl_w, res), obs.lm, num_segments=L_n)
+    bp = -jax.ops.segment_sum(_einsum("oij,oi->oj", Jp_w, res), obs.kf, num_segments=K_n)
+    bl = -jax.ops.segment_sum(_einsum("oij,oi->oj", Jl_w, res), obs.lm, num_segments=L_n)
 
     # Coupling tensor Y[k, l] = sum_obs Jp^T W Jl  — scatter-add into dense (K*L)
-    Hpl_o = jnp.einsum("oij,oik->ojk", Jp_w, J_point)  # (O, 6, 3)
+    Hpl_o = _einsum("oij,oik->ojk", Jp_w, J_point)  # (O, 6, 3)
     flat_idx = obs.kf * L_n + obs.lm
     Y = jax.ops.segment_sum(Hpl_o, flat_idx, num_segments=K_n * L_n)
     Y = Y.reshape(K_n, L_n, 6, 3)
@@ -152,7 +160,7 @@ def _schur_solve(
     # Multiplicative (Levenberg-Marquardt) damping keeps weakly-constrained
     # landmarks from taking huge steps along their ray.
     eye3 = jnp.eye(3, dtype=Hll.dtype)
-    diag_l = jnp.einsum("lii->l", Hll)[:, None, None] / 3.0
+    diag_l = _einsum("lii->l", Hll)[:, None, None] / 3.0
     Hll_d = Hll + (0.05 * diag_l + damping + 1e-6) * eye3
     # guard empty landmarks (no observations): keep identity so inverse is benign
     empty_lm = jnp.abs(Hll).sum(axis=(-2, -1)) < 1e-10
@@ -164,11 +172,11 @@ def _schur_solve(
     Hll_inv = Hll_inv * lm_free[:, None, None]
 
     # Schur complement S = Hpp_diag - Y Hll^-1 Y^T (dense over keyframe pairs)
-    YHinv = jnp.einsum("klij,ljm->klim", Y, Hll_inv)        # (K, L, 6, 3)
-    S_off = jnp.einsum("alim,bljm->abij", YHinv, Y)          # (K, K, 6, 6)
+    YHinv = _einsum("klij,ljm->klim", Y, Hll_inv)        # (K, L, 6, 3)
+    S_off = _einsum("alim,bljm->abij", YHinv, Y)          # (K, K, 6, 6)
     S = -S_off
     S = S.at[jnp.arange(K_n), jnp.arange(K_n)].add(Hpp)
-    b_schur = bp - jnp.einsum("klim,lm->ki", YHinv, bl)      # (K, 6)
+    b_schur = bp - _einsum("klim,lm->ki", YHinv, bl)      # (K, 6)
 
     # Gauge fixing: zero out rows/cols of fixed keyframes, identity diagonal
     free = jnp.logical_not(prob.fixed_kf).astype(S.dtype)
@@ -188,8 +196,8 @@ def _schur_solve(
     dp = jnp.linalg.solve(S_mat, b_vec).reshape(K_n, 6)
 
     # Back-substitute landmarks: dl = Hll^-1 (bl - Y^T dp)
-    Yt_dp = jnp.einsum("klim,ki->lm", Y, dp)                 # (L, 3)
-    dl = jnp.einsum("lij,lj->li", Hll_inv, bl - Yt_dp)
+    Yt_dp = _einsum("klim,ki->lm", Y, dp)                 # (L, 3)
+    dl = _einsum("lij,lj->li", Hll_inv, bl - Yt_dp)
     dl = dl * lm_free[:, None]
     dp = dp * jnp.logical_not(prob.fixed_kf)[:, None]
 
@@ -274,8 +282,8 @@ def solve_pose(
     def body(T, _):
         res, J, w, ok, chi2 = lin(T)
         Jw = J * w[:, None, None]
-        H = jnp.einsum("oij,oik->jk", Jw, J) + damping * jnp.eye(6)
-        b = -jnp.einsum("oij,oi->j", Jw, res)
+        H = _einsum("oij,oik->jk", Jw, J) + damping * jnp.eye(6)
+        b = -_einsum("oij,oi->j", Jw, res)
         dx = jnp.linalg.solve(H, b)
         T_new = lie.compose(lie.se3_exp(dx), T)
         # accept/reject

@@ -43,7 +43,7 @@ def bearing_jacobian_local(p_c: jax.Array) -> jax.Array:
     df_dp = eye / n - ppT / (n**3)                    # (..., 3, 3)
     # dp_c/d xi: translation -> -I, rotation -> [p]x
     dp_dxi = jnp.concatenate([-eye, lie.skew(p_c)], axis=-1)  # (..., 3, 6)
-    return df_dp @ dp_dxi
+    return jnp.matmul(df_dp, dp_dxi, precision=jax.lax.Precision.HIGHEST)
 
 
 def point_information_local(p_c: jax.Array, noise_var: float = 0.01) -> jax.Array:

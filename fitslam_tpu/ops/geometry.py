@@ -16,6 +16,11 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from functools import partial
+
+# full-f32 contraction precision on geometry transforms (see ops/lie.py)
+_einsum = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
 from fitslam_tpu.ops import lie
 
 
@@ -77,7 +82,7 @@ def triangulate_stereo(K: Intrinsics, T_wc: lie.SE3, uv: jax.Array, disparity: j
     depth = depth_from_disparity(K, disparity)
     p_c = backproject(K, uv, depth)
     p_w = lie.apply(T_wc, p_c) if p_c.ndim == T_wc.t.ndim else (
-        jnp.einsum("ij,...j->...i", T_wc.R, p_c) + T_wc.t
+        _einsum("ij,...j->...i", T_wc.R, p_c) + T_wc.t
     )
     return p_w, depth > 1e-6
 
@@ -95,7 +100,7 @@ def triangulate_two_view(
             [(uv[..., 0] - K.cx) / K.fx, (uv[..., 1] - K.cy) / K.fy, jnp.ones_like(uv[..., 0])],
             axis=-1,
         )
-        d_w = jnp.einsum("ij,...j->...i", T.R, d_c)
+        d_w = _einsum("ij,...j->...i", T.R, d_c)
         return d_w / jnp.linalg.norm(d_w, axis=-1, keepdims=True)
 
     o1, o2 = T_wc1.t, T_wc2.t
@@ -117,8 +122,8 @@ def triangulate_two_view(
     p2 = o2 + t[..., None] * d2
     p_w = 0.5 * (p1 + p2)
     # depth check in each camera frame
-    z1 = jnp.einsum("ij,...j->...i", T_wc1.R.T, p_w - o1)[..., 2]
-    z2 = jnp.einsum("ij,...j->...i", T_wc2.R.T, p_w - o2)[..., 2]
+    z1 = _einsum("ij,...j->...i", T_wc1.R.T, p_w - o1)[..., 2]
+    z2 = _einsum("ij,...j->...i", T_wc2.R.T, p_w - o2)[..., 2]
     valid = parallax_ok & (s > 0) & (t > 0) & (z1 > 1e-3) & (z2 > 1e-3)
     return p_w, valid
 
@@ -127,7 +132,7 @@ def reprojection_residual(
     K: Intrinsics, T_cw: lie.SE3, p_w: jax.Array, uv_obs: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
     """Residual uv_pred - uv_obs for points (..., 3) vs obs (..., 2)."""
-    p_c = jnp.einsum("...ij,...j->...i", T_cw.R, p_w) + T_cw.t
+    p_c = _einsum("...ij,...j->...i", T_cw.R, p_w) + T_cw.t
     uv, valid = project(K, p_c)
     return uv - uv_obs, valid
 

@@ -109,59 +109,64 @@ class TraversabilityGrid(NamedTuple):
     cost: jax.Array        # (G, G) uint8 0..255 (255 = unknown)
 
 
-@vjit(static_argnames=("spec", "max_slope", "ground_clearance", "robot_height",
-                       "security_distance", "lethal_threshold"))
-def fuse_clouds(
-    spec: GridSpec2D,
-    buf: CloudBuffer,
-    kf_T_cw: lie.SE3,             # (K,) all keyframe poses (current estimates)
-    max_slope: float = 0.7,
-    ground_clearance: float = 0.17,
-    robot_height: float = 1.5,
-    security_distance: float = 0.6,
-    lethal_threshold: int = 55,
-) -> TraversabilityGrid:
-    """Fuse every buffered cloud through its keyframe's *current* pose.
-
-    One batched scatter over all C*P points: per-cell count / mean z /
-    min-max z / variance, then slope stencils and the traversability cost.
-    Calling this after a pose-graph update re-stitches the whole map
-    (reference: is_kf_optimization_enabled re-stitch, SURVEY.md §3.4).
-    """
-    G = spec.size
+def cloud_points_world(buf: CloudBuffer, kf_T_cw: lie.SE3):
+    """Transform every buffered cloud through its keyframe's CURRENT pose.
+    Returns ((C*P, 3) world points, (C*P,) mask)."""
     C, P, _ = buf.points.shape
-
-    # world-frame points: T_wc[kf] applied per cloud
     T_cw = lie.SE3(kf_T_cw.R[buf.kf_idx], kf_T_cw.t[buf.kf_idx])   # (C,)
     T_wc = lie.inverse(T_cw)
     pts_w = (
-        jnp.einsum("cij,cpj->cpi", T_wc.R, buf.points) + T_wc.t[:, None, :]
+        jnp.einsum("cij,cpj->cpi", T_wc.R, buf.points,
+                   precision=jax.lax.Precision.HIGHEST) + T_wc.t[:, None, :]
     ).reshape(C * P, 3)
     ok = (buf.valid & buf.cloud_valid[:, None]).reshape(C * P)
+    return pts_w, ok
 
+
+def cell_stats(spec: GridSpec2D, pts_w: jax.Array, ok: jax.Array):
+    """Scatter-reduce points into flat per-cell aggregates
+    (count, sum z, sum z^2, max z, min z) — the associative piece of fusion:
+    partial aggregates from point shards combine with (+, +, +, max, min),
+    which is exactly what the mesh-sharded variant psums/pmaxes
+    (parallel/dist_stages.py)."""
+    G = spec.size
     cell, inb = spec.world_to_cell(pts_w[:, :2])
     ok = ok & inb
     flat = jnp.where(ok, cell[:, 1] * G + cell[:, 0], G * G)  # row-major (y, x)
     z = pts_w[:, 2]
-
     n_cells = G * G + 1
     cnt = jax.ops.segment_sum(ok.astype(jnp.float32), flat, num_segments=n_cells)
     s_z = jax.ops.segment_sum(jnp.where(ok, z, 0.0), flat, num_segments=n_cells)
     s_z2 = jax.ops.segment_sum(jnp.where(ok, z * z, 0.0), flat, num_segments=n_cells)
     z_mx = jax.ops.segment_max(jnp.where(ok, z, -jnp.inf), flat, num_segments=n_cells)
     z_mn = jax.ops.segment_min(jnp.where(ok, z, jnp.inf), flat, num_segments=n_cells)
+    return (cnt[: G * G], s_z[: G * G], s_z2[: G * G],
+            z_mx[: G * G], z_mn[: G * G])
 
-    cnt = cnt[: G * G].reshape(G, G)
+
+def stats_to_grid(
+    spec: GridSpec2D,
+    stats,
+    max_slope: float = 0.7,
+    ground_clearance: float = 0.17,
+    robot_height: float = 1.5,
+    security_distance: float = 0.6,
+) -> TraversabilityGrid:
+    """Derive slope/roughness/step classification + cost from fused per-cell
+    aggregates (the non-associative tail of fuse_clouds)."""
+    G = spec.size
+    cnt, s_z, s_z2, z_mx, z_mn = stats
+    cnt = cnt.reshape(G, G)
     known = cnt > 0
-    mean_z = jnp.where(known, s_z[: G * G].reshape(G, G) / jnp.maximum(cnt, 1.0), 0.0)
+    mean_z = jnp.where(known, s_z.reshape(G, G) / jnp.maximum(cnt, 1.0), 0.0)
     var_z = jnp.where(
         known,
-        s_z2[: G * G].reshape(G, G) / jnp.maximum(cnt, 1.0) - mean_z**2,
+        s_z2.reshape(G, G) / jnp.maximum(cnt, 1.0) - mean_z**2,
         0.0,
     )
     rough = jnp.sqrt(jnp.maximum(var_z, 0.0))
-    z_max = jnp.where(known, z_mx[: G * G].reshape(G, G), 0.0)
-    z_min = jnp.where(known, z_mn[: G * G].reshape(G, G), 0.0)
+    z_max = jnp.where(known, z_mx.reshape(G, G), 0.0)
+    z_min = jnp.where(known, z_mn.reshape(G, G), 0.0)
 
     # slope: central differences on elevation, only across known neighbors
     def shift(a, dy, dx):
@@ -198,6 +203,33 @@ def fuse_clouds(
         elevation=mean_z, z_min=z_min, z_max=z_max,
         roughness=rough, slope=slope,
         count=cnt.astype(jnp.int32), cost=cost,
+    )
+
+
+@vjit(static_argnames=("spec", "max_slope", "ground_clearance", "robot_height",
+                       "security_distance", "lethal_threshold"))
+def fuse_clouds(
+    spec: GridSpec2D,
+    buf: CloudBuffer,
+    kf_T_cw: lie.SE3,             # (K,) all keyframe poses (current estimates)
+    max_slope: float = 0.7,
+    ground_clearance: float = 0.17,
+    robot_height: float = 1.5,
+    security_distance: float = 0.6,
+    lethal_threshold: int = 55,
+) -> TraversabilityGrid:
+    """Fuse every buffered cloud through its keyframe's *current* pose.
+
+    One batched scatter over all C*P points: per-cell count / mean z /
+    min-max z / variance, then slope stencils and the traversability cost.
+    Calling this after a pose-graph update re-stitches the whole map
+    (reference: is_kf_optimization_enabled re-stitch, SURVEY.md §3.4).
+    """
+    pts_w, ok = cloud_points_world(buf, kf_T_cw)
+    stats = cell_stats(spec, pts_w, ok)
+    return stats_to_grid(
+        spec, stats, max_slope=max_slope, ground_clearance=ground_clearance,
+        robot_height=robot_height, security_distance=security_distance,
     )
 
 

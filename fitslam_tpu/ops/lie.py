@@ -14,12 +14,22 @@ pattern so both the primal and the gradient are finite at theta -> 0.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
+
+# All products in this module are tiny (3x3 chains) but COMPOUND across
+# hundreds of frames: bf16-input MXU passes (the TPU default) measurably
+# diverge the rotation-stressed loop benchmark while CPU tracks fine. Pin
+# full-f32 per-op here instead of flipping the process-global matmul default
+# (which round 2 did, dragging the image-frontend convs onto the 6-pass f32
+# path at -35% end-to-end frames/s).
+_mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+_einsum_f32 = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 
 class SE3(NamedTuple):
@@ -99,7 +109,7 @@ def so3_exp(phi: jax.Array) -> jax.Array:
     """Rodrigues: (..., 3) rotation vector -> (..., 3, 3) rotation matrix."""
     theta2 = jnp.sum(phi * phi, axis=-1, keepdims=True)[..., None]
     K = skew(phi)
-    KK = K @ K
+    KK = _mm(K, K)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
     return eye + _sin_theta_over_theta(theta2) * K + _one_minus_cos_over_theta2(theta2) * KK
 
@@ -150,7 +160,7 @@ def so3_left_jacobian(phi: jax.Array) -> jax.Array:
     """Left Jacobian J_l of SO(3): integrates rotation into translation."""
     theta2 = jnp.sum(phi * phi, axis=-1, keepdims=True)[..., None]
     K = skew(phi)
-    KK = K @ K
+    KK = _mm(K, K)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
     return (
         eye
@@ -164,7 +174,7 @@ def so3_left_jacobian_inv(phi: jax.Array) -> jax.Array:
     t2 = jnp.where(theta2 > _EPS, theta2, 1.0)
     theta = jnp.sqrt(t2)
     K = skew(phi)
-    KK = K @ K
+    KK = _mm(K, K)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
     half_theta = 0.5 * theta
     cot_term = jnp.where(
@@ -179,37 +189,37 @@ def se3_exp(xi: jax.Array) -> SE3:
     """(..., 6) [rho, phi] -> SE3. R = exp(phi), t = J_l(phi) @ rho."""
     rho, phi = xi[..., :3], xi[..., 3:]
     R = so3_exp(phi)
-    t = (so3_left_jacobian(phi) @ rho[..., :, None])[..., 0]
+    t = (_mm(so3_left_jacobian(phi), rho[..., :, None]))[..., 0]
     return SE3(R, t)
 
 
 def se3_log(T: SE3) -> jax.Array:
     """SE3 -> (..., 6) [rho, phi]."""
     phi = so3_log(T.R)
-    rho = (so3_left_jacobian_inv(phi) @ T.t[..., :, None])[..., 0]
+    rho = (_mm(so3_left_jacobian_inv(phi), T.t[..., :, None]))[..., 0]
     return jnp.concatenate([rho, phi], axis=-1)
 
 
 def compose(A: SE3, B: SE3) -> SE3:
     """A then-applied-after B: (A*B)(x) = A(B(x))."""
-    return SE3(A.R @ B.R, (A.R @ B.t[..., :, None])[..., 0] + A.t)
+    return SE3(_mm(A.R, B.R), (_mm(A.R, B.t[..., :, None]))[..., 0] + A.t)
 
 
 def inverse(T: SE3) -> SE3:
     Rt = jnp.swapaxes(T.R, -1, -2)
-    return SE3(Rt, -(Rt @ T.t[..., :, None])[..., 0])
+    return SE3(Rt, -(_mm(Rt, T.t[..., :, None]))[..., 0])
 
 
 def apply(T: SE3, pts: jax.Array) -> jax.Array:
     """Transform points. T batch (...,), pts (..., N, 3) or (..., 3)."""
     if pts.ndim == T.t.ndim:  # (..., 3)
-        return (T.R @ pts[..., :, None])[..., 0] + T.t
-    return jnp.einsum("...ij,...nj->...ni", T.R, pts) + T.t[..., None, :]
+        return (_mm(T.R, pts[..., :, None]))[..., 0] + T.t
+    return _einsum_f32("...ij,...nj->...ni", T.R, pts) + T.t[..., None, :]
 
 
 def adjoint(T: SE3) -> jax.Array:
     """(..., 6, 6) adjoint: Ad_T @ xi = log(T exp(xi) T^-1)."""
-    top = jnp.concatenate([T.R, skew(T.t) @ T.R], axis=-1)
+    top = jnp.concatenate([T.R, _mm(skew(T.t), T.R)], axis=-1)
     bot = jnp.concatenate([jnp.zeros_like(T.R), T.R], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
 

@@ -21,6 +21,9 @@ from fitslam_tpu.utils.jit import vjit
 
 from fitslam_tpu.ops import lie
 
+# full-f32 contraction precision on the normal equations (see ops/lie.py)
+_einsum = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
 
 class PoseGraphEdges(NamedTuple):
     i: jax.Array        # (E,) int32
@@ -77,11 +80,11 @@ def optimize_pose_graph(
     def body(T, _):
         r, Ji, Jj, w, _ = linearize(T)
         # assemble dense H, b via scatter into (K, K, 6, 6)
-        Hii = jnp.einsum("e,eri,erj->eij", w, Ji, Ji)
-        Hjj = jnp.einsum("e,eri,erj->eij", w, Jj, Jj)
-        Hij = jnp.einsum("e,eri,erj->eij", w, Ji, Jj)
-        bi = -jnp.einsum("e,eri,er->ei", w, Ji, r)
-        bj = -jnp.einsum("e,eri,er->ei", w, Jj, r)
+        Hii = _einsum("e,eri,erj->eij", w, Ji, Ji)
+        Hjj = _einsum("e,eri,erj->eij", w, Jj, Jj)
+        Hij = _einsum("e,eri,erj->eij", w, Ji, Jj)
+        bi = -_einsum("e,eri,er->ei", w, Ji, r)
+        bj = -_einsum("e,eri,er->ei", w, Jj, r)
 
         flat = lambda a, b_: a * K_n + b_
         H = jnp.zeros((K_n * K_n, 6, 6))

@@ -138,6 +138,12 @@ def save_active_system(path: str, system) -> None:
     """Checkpoint an ActiveSlamSystem: SLAM + clouds + roadmap +
     exploration host state (goal, blacklist, diagnostics, overlay)."""
     ex = system.explorer
+    if getattr(system, "ekf", None) is not None:
+        # fold buffered measurement rows into the filter states before
+        # snapshotting — otherwise sensor data received since the last flush
+        # is silently dropped from the checkpoint
+        system.ekf.flush()
+        system._ekf_dirty = False
     groups = {
         "map": pytree_to_arrays(system.slam.map),
         "state": pytree_to_arrays(system.slam.state),
@@ -219,6 +225,11 @@ def load_active_system(path: str, system) -> None:
                                                  groups["ekf_odom"])
         system.ekf.map_state = arrays_to_pytree(system.ekf.map_state,
                                                 groups["ekf_map"])
+        # drop rows buffered BEFORE the load: flushing stale pre-load sensor
+        # data into the freshly restored filter states would corrupt them
+        system.ekf._odom_rows.clear()
+        system.ekf._map_rows.clear()
+        system._ekf_dirty = False
         system._slam_fuse_counter = 1  # datum already seeded from checkpoint
     ex._goal_failures = {
         tuple(int(x) for x in k.split(",")): v

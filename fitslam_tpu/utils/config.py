@@ -492,6 +492,8 @@ def apply_overrides(cfg: FitSlamConfig, overrides: Dict[str, Any]) -> FitSlamCon
 
 
 def _replace_path(node, parts, value):
+    if parts[0] not in {f.name for f in fields(type(node))}:
+        raise KeyError(f"unknown config key {type(node).__name__}.{parts[0]}")
     if len(parts) == 1:
         if isinstance(value, list):
             value = tuple(value)
