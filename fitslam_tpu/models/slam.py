@@ -125,6 +125,8 @@ class StereoSlam:
             reinit_after_lost=cfg.tracking.reinit_after_lost,
             match_ratio=cfg.tracking.match_ratio,
             ba_covis=cfg.mapping.covisibility_window,
+            recycle_at_fraction=cfg.mapping.recycle_at_fraction,
+            recycle_target_fraction=cfg.mapping.recycle_target_fraction,
         )
         self.outs_log.append(outs)
         self._initialized = True
@@ -171,19 +173,14 @@ class StereoSlam:
                 reinit_after_lost=cfg.tracking.reinit_after_lost,
                 match_ratio=cfg.tracking.match_ratio,
                 ba_covis=cfg.mapping.covisibility_window,
+                recycle_at_fraction=cfg.mapping.recycle_at_fraction,
+                recycle_target_fraction=cfg.mapping.recycle_target_fraction,
             )
             n_inl = int(outs.n_inliers)
             was_kf = bool(outs.was_keyframe)
-
-        # landmark slot recycling: a full landmark array makes new terrain
-        # unmappable and starves tracking (fixed-capacity long-run safety;
-        # see slam_map.compact_map)
-        mcfg = cfg.mapping
-        if (was_kf and mcfg.recycle_at_fraction > 0):
-            L_cap = self.map.lm_valid.shape[0]
-            if int(self.map.n_lm) > mcfg.recycle_at_fraction * L_cap:
-                self.map = sm.compact_map(
-                    self.map, target_fraction=mcfg.recycle_target_fraction)
+        # (landmark slot recycling happens ON DEVICE inside the backend step
+        # now - see slam_step: the async path never ran the old host-side
+        # version, starving tracking once the landmark array filled)
 
         info: Dict = {
             "frame_id": self.frame_id,

@@ -51,6 +51,7 @@ def _backend_body(
     kf_min_interval, kf_translation, kf_rotation, kf_min_tracked_ratio,
     scale_factor, ba_window, ba_max_obs, ba_iters, cull_min_obs,
     wide_radius=96.0, reinit_after_lost=6, match_ratio=0.8, ba_covis=True,
+    recycle_at_fraction=0.92, recycle_target_fraction=0.7,
 ) -> Tuple[sm.SlamMap, tr.TrackState, StepOutputs]:
     num_features = frame.feats.capacity
 
@@ -100,6 +101,22 @@ def _backend_body(
         m3 = sm.local_ba(m2, K, window=ba_window, max_obs_local=ba_max_obs,
                          iters=ba_iters, covis=ba_covis)
         m4 = sm.cull_landmarks(m3, min_obs=cull_min_obs)
+        # landmark slot recycling ON DEVICE: when the fixed-capacity landmark
+        # array fills, new terrain becomes unmappable and tracking starves
+        # (measured on the corridor bench: inliers collapse 400 -> 0 over the
+        # last third of the run once n_lm hits capacity, blowing up ATE).
+        # The host-side recycling of the sync path never runs in the
+        # zero-readback async mode, so the compaction must live inside this
+        # executable, under lax.cond so the scatter only costs on overflow.
+        if recycle_at_fraction > 0:
+            L_cap = m4.lm_valid.shape[0]
+            m4 = jax.lax.cond(
+                m4.n_lm > int(recycle_at_fraction * L_cap),
+                lambda mm: sm.compact_map(
+                    mm, target_fraction=recycle_target_fraction),
+                lambda mm: mm,
+                m4,
+            )
         kf_idx = m2.n_kf - 1
         state3 = tr.rebase_to_kf(state2, m4.kf_T_cw.R, m4.kf_T_cw.t, kf_idx)
         state3 = tr.mark_keyframe(state3, n_inl)
@@ -130,5 +147,6 @@ slam_backend_step = vjit(
         "kf_rotation", "kf_min_tracked_ratio", "scale_factor",
         "ba_window", "ba_max_obs", "ba_iters", "cull_min_obs",
         "wide_radius", "reinit_after_lost", "match_ratio", "ba_covis",
+        "recycle_at_fraction", "recycle_target_fraction",
     ),
 )

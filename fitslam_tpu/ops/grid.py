@@ -168,15 +168,33 @@ def stats_to_grid(
     z_max = jnp.where(known, z_mx.reshape(G, G), 0.0)
     z_min = jnp.where(known, z_mn.reshape(G, G), 0.0)
 
-    # slope: central differences on elevation, only across known neighbors
+    # slope: central differences on a count-weighted 3x3-smoothed elevation.
+    # Raw per-cell means carry the z-disagreement of the different keyframes
+    # whose clouds hit neighboring cells (a few cm of pose error between
+    # adjacent cells reads as slope ~0.2 at 0.25 m resolution — enough to
+    # cross the lethal threshold on flat ground); pooling the raw sums over
+    # the 3x3 neighborhood before differencing averages that jag out while a
+    # real ridge (slope >= max_slope over several cells) keeps its gradient.
+    # Shifts must NOT wrap (jnp.roll would difference the map's opposite
+    # edges, painting phantom lethal slope along every border on terrain
+    # whose elevation differs across the map).
     def shift(a, dy, dx):
-        return jnp.roll(a, (dy, dx), axis=(0, 1))
+        fill = jnp.zeros((), a.dtype) if a.dtype != jnp.bool_ else False
+        return _shifted(a, dy, dx, fill)
+
+    def pool3(a):
+        return jax.lax.reduce_window(a, 0.0, jax.lax.add, (3, 3), (1, 1), "SAME")
+
+    s_z_pool = pool3(s_z.reshape(G, G))
+    cnt_pool = pool3(cnt)
+    z_smooth = jnp.where(cnt_pool > 0, s_z_pool / jnp.maximum(cnt_pool, 1.0), 0.0)
+    known_s = cnt_pool > 0
 
     inv_2res = 1.0 / (2.0 * spec.resolution)
-    gx_ok = shift(known, 0, 1) & shift(known, 0, -1)
-    gy_ok = shift(known, 1, 0) & shift(known, -1, 0)
-    gx = jnp.where(gx_ok, (shift(mean_z, 0, -1) - shift(mean_z, 0, 1)) * inv_2res, 0.0)
-    gy = jnp.where(gy_ok, (shift(mean_z, -1, 0) - shift(mean_z, 1, 0)) * inv_2res, 0.0)
+    gx_ok = shift(known_s, 0, 1) & shift(known_s, 0, -1)
+    gy_ok = shift(known_s, 1, 0) & shift(known_s, -1, 0)
+    gx = jnp.where(gx_ok, (shift(z_smooth, 0, -1) - shift(z_smooth, 0, 1)) * inv_2res, 0.0)
+    gy = jnp.where(gy_ok, (shift(z_smooth, -1, 0) - shift(z_smooth, 1, 0)) * inv_2res, 0.0)
     slope = jnp.sqrt(gx * gx + gy * gy)
 
     # cost: reference-style traversability classification

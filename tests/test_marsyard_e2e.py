@@ -103,7 +103,7 @@ def test_slope_terrain_classified(marsyard_run):
     occ = np.asarray(system.occupancy())
     known = occ != gr.UNKNOWN
     assert known.mean() > 0.05, "rover saw almost nothing"
-    grid_lethal = occ >= gr.INSCRIBED
+    grid_lethal = (occ != gr.UNKNOWN) & (occ >= gr.INSCRIBED)
 
     # the seen part of the ridge/boulders shows up lethal
     assert grid_lethal.sum() >= 10, "no lethal terrain detected"
@@ -112,7 +112,7 @@ def test_slope_terrain_classified(marsyard_run):
 def test_lethal_matches_ground_truth(marsyard_run):
     system, robot, mw = marsyard_run
     occ = np.asarray(system.occupancy())
-    grid_lethal = occ >= gr.INSCRIBED
+    grid_lethal = (occ != gr.UNKNOWN) & (occ >= gr.INSCRIBED)
     # dilate GT by the security-distance inflation radius (0.6 m ~ 3 cells)
     gt = mw.gt_lethal.copy()
     r = 3
