@@ -56,6 +56,7 @@ class ActiveSlamSystem:
         nav,                      # NavInterface
         get_robot_pose,           # () -> (xy, yaw)
         event_logger: Optional[EventLogger] = None,
+        peer_goals=None,          # () -> [peer goal xy] (multi-robot sharing)
     ):
         self.cfg = cfg
         self.spec = spec
@@ -100,6 +101,7 @@ class ActiveSlamSystem:
             get_kf_poses=self.kf_poses_world,
             event_logger=self.log,
             get_landmarks=self.landmark_map_world,
+            peer_goals=peer_goals,
         )
 
     # ------------------------------------------------------------------
