@@ -66,29 +66,37 @@ def main():
     T_gt = synthetic.straight_trajectory(N_FRAMES, length=N_FRAMES * 0.15,
                                          height=1.2, start_x=0.5)
 
+    from fitslam_tpu.utils.profiling import device_sync
+
     frames = []
     for i in range(N_FRAMES):
         l, r = synthetic.render_stereo(
             K, world, lie.SE3(T_gt.R[i], T_gt.t[i]), width=W, height=H,
         )
-        frames.append((jax.block_until_ready(l), jax.block_until_ready(r)))
+        frames.append((l, r))
+    device_sync(frames[-1])
 
-    # pass 1 (uncounted): compiles every code path. Zero-readback mode — any
-    # device->host transfer permanently degrades all later dispatches ~300x
-    # on this backend, so the measured loop must not pull anything.
+    # pass 1 (uncounted): compiles every code path. device_sync (a real
+    # device->host readback) is the ONLY true barrier on this backend:
+    # jax.block_until_ready returns at dispatch-accept, not completion —
+    # r01/r02 "frames/s" numbers timed with it measured dispatch rate, not
+    # compute (BENCH_NOTES.md has the full post-mortem).
     warm = StereoSlam(cfg)
     for i in range(N_FRAMES):
         warm.process_frame_async(*frames[i])
-    jax.block_until_ready(warm.outs_log[-1].pose_wc)
+    device_sync(warm.outs_log[-1].pose_wc)
 
-    # pass 2 (measured): fresh SLAM state, fully warm executables, no D2H
+    # pass 2 (measured): fresh SLAM state, fully warm executables; frames are
+    # dispatched without per-frame syncs and the clock stops on a true
+    # barrier against the final frame's output (which data-depends on the
+    # whole chain of map/tracker state).
     slam = StereoSlam(cfg)
     slam.process_frame_async(*frames[0])
-    jax.block_until_ready(slam.outs_log[-1].pose_wc)
+    device_sync(slam.outs_log[-1].pose_wc)
     t0 = time.monotonic()
     for i in range(1, N_FRAMES):
         outs = slam.process_frame_async(*frames[i])
-    jax.block_until_ready(outs.pose_wc)
+    device_sync(outs.pose_wc)
     wall = time.monotonic() - t0
     fps = (N_FRAMES - 1) / wall
 

@@ -65,6 +65,37 @@ class BAStats(NamedTuple):
     num_inliers: jax.Array   # (I,)
 
 
+def inv3x3(A: jax.Array) -> jax.Array:
+    """Closed-form (adjugate) inverse of batched 3x3 matrices.
+
+    `jnp.linalg.inv` lowers batched small matrices to an LU custom call that
+    measured 7.0 ms for (8192, 3, 3) on this TPU backend — the dominant cost
+    of a whole local-BA iteration. The cofactor expansion is ~30 elementwise
+    VPU ops and fuses with its consumers. Inputs are damped SPD blocks, so
+    the determinant is bounded away from zero by construction.
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A00 = e * i - f * h
+    A01 = c * h - b * i
+    A02 = b * f - c * e
+    A10 = f * g - d * i
+    A11 = a * i - c * g
+    A12 = c * d - a * f
+    A20 = d * h - e * g
+    A21 = b * g - a * h
+    A22 = a * e - b * d
+    det = a * A00 + b * A10 + c * A20
+    inv_det = 1.0 / det
+    adj = jnp.stack([
+        jnp.stack([A00, A01, A02], axis=-1),
+        jnp.stack([A10, A11, A12], axis=-1),
+        jnp.stack([A20, A21, A22], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None]
+
+
 def _residual_and_jac(K: Intrinsics, T_cw: lie.SE3, p_w, uvr, stereo_mask):
     """Closed-form residual (3,) and Jacobians for one observation.
 
@@ -165,7 +196,7 @@ def _schur_solve(
     # guard empty landmarks (no observations): keep identity so inverse is benign
     empty_lm = jnp.abs(Hll).sum(axis=(-2, -1)) < 1e-10
     Hll_d = jnp.where(empty_lm[:, None, None], eye3, Hll_d)
-    Hll_inv = jnp.linalg.inv(Hll_d)
+    Hll_inv = inv3x3(Hll_d)
     Hll_inv = jnp.where(empty_lm[:, None, None], jnp.zeros_like(eye3), Hll_inv)
     # frozen landmarks do not move: treat their inverse as zero in Schur
     lm_free = jnp.logical_not(prob.fixed_lm)
@@ -236,7 +267,8 @@ def bundle_adjust(
         T_new = lie.compose(lie.se3_exp(dp), p.T_cw)
         pts_new = p.points + dl
         cand = p._replace(T_cw=T_new, points=pts_new)
-        c_old, _, _ = chi2_of(p)
+        # c_old from the linearization above (chi2_of(p) would redo it)
+        c_old = jnp.sum(jnp.where(ok, jnp.minimum(chi2, 7.815 * 4), 0.0))
         c_new, ok_new, _ = chi2_of(cand)
         accept = jnp.isfinite(c_new) & (c_new < c_old)
         out = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, p)

@@ -52,6 +52,9 @@ def hamming_matrix(desc_a: jax.Array, desc_b: jax.Array,
     return jnp.where(mask, d, float(BIG)).astype(jnp.int32)
 
 
+_SENTINEL = 512  # stands in for BIG inside packed keys (> any true distance)
+
+
 def match_ratio(
     dist: jax.Array,
     max_distance: int = 64,
@@ -61,14 +64,26 @@ def match_ratio(
     """Best-match selection with Lowe ratio + optional mutual-consistency.
 
     dist: (Na, Nb) int32 Hamming matrix (BIG where invalid).
+
+    The row top-2 is computed as min-reductions over packed
+    ``distance * Nb + column`` keys rather than ``lax.top_k``: top_k on
+    int32 with both values and indices lowers to a full per-row sort on
+    this backend — measured 5.2 ms for (1024, 8192) vs 41 us for the
+    packed mins (MFU.md §1). Distances are clipped to a small sentinel so
+    the packed key fits int32 at any capacity; every selection outcome is
+    unchanged (sentinel > max_distance fails the gate, and the ratio test
+    against a sentinel second-best accepts exactly like BIG does).
     """
     na, nb = dist.shape
-    # top-2 per row (smallest distances)
-    neg = -dist
-    top2, idx2 = jax.lax.top_k(neg, 2)
-    best = -top2[:, 0]
-    second = -top2[:, 1]
-    best_idx = idx2[:, 0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    d = jnp.minimum(dist, _SENTINEL)
+    packed = d * nb + cols
+    p1 = jnp.min(packed, axis=1)
+    best = p1 // nb
+    best_idx = p1 % nb
+    second = jnp.min(
+        jnp.where(cols == best_idx[:, None], _SENTINEL * nb, packed), axis=1
+    ) // nb
     ok = (best <= max_distance) & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
     if mutual:
         col_best = jnp.argmin(dist, axis=0)  # (Nb,)

@@ -142,6 +142,33 @@ _W_CENTROID = np.stack(
     [(_cc * _CIRC).reshape(-1), (_rr * _CIRC).reshape(-1)], axis=-1
 ).astype(np.float32)  # columns: [x-moment, y-moment]; host-side, see note above
 
+# BRIEF pre-smoothing as an in-patch separable blur matrix: a gathered
+# (GPATCH, GPATCH) patch times this (GPATCH, PATCH) matrix on each side
+# equals the gaussian_blur of the level image sampled on the central 32x32
+# (keypoints carry >= EDGE=16 margin, so the support never leaves the
+# image). This lets ONE patch gather per keypoint feed both orientation
+# (raw center crop) and the descriptor (blurred), instead of gathering from
+# the raw and the blurred image separately — the gather is per-slice
+# overhead bound (~0.85 us/slice measured), so halving slice count halves
+# the dominant extractor cost.
+GPATCH = 40
+_GHALF = GPATCH // 2
+
+
+def _make_blur_matrix(sigma: float = 2.0, radius: int = 3) -> np.ndarray:
+    off = np.arange(-radius, radius + 1)
+    w = np.exp(-(off.astype(np.float64) ** 2) / (2.0 * sigma * sigma))
+    w /= w.sum()
+    B = np.zeros((GPATCH, PATCH), np.float32)
+    margin = _GHALF - HALF
+    for j in range(PATCH):
+        for k, o in enumerate(off):
+            B[j + margin + o, j] += w[k]
+    return B
+
+
+_BLUR_MATRIX = _make_blur_matrix()
+
 
 # ---------------------------------------------------------------------------
 # FAST corner response
@@ -202,12 +229,18 @@ def _border_mask(h: int, w: int, margin: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _extract_patches(img: jax.Array, xy_int: jax.Array) -> jax.Array:
-    """Gather (N, PATCH, PATCH) patches centered at integer (x, y)."""
-    padded = jnp.pad(img, ((HALF, HALF), (HALF, HALF)))
+def _extract_patches(img: jax.Array, xy_int: jax.Array,
+                     patch: int = PATCH) -> jax.Array:
+    """Gather (N, patch, patch) patches centered at integer (x, y).
+
+    vmapped dynamic_slice is the fastest gather formulation on this TPU
+    backend (measured 0.87 ms/1024 slices vs 7.5 ms for a flat take and
+    13.6 ms for row+column takes)."""
+    half = patch // 2
+    padded = jnp.pad(img, ((half, half), (half, half)))
 
     def one(xy):
-        return jax.lax.dynamic_slice(padded, (xy[1], xy[0]), (PATCH, PATCH))
+        return jax.lax.dynamic_slice(padded, (xy[1], xy[0]), (patch, patch))
 
     return jax.vmap(one)(xy_int)
 
@@ -277,14 +310,27 @@ def extract_orb(
         score = jnp.where(_border_mask(h, w, EDGE), score, 0.0)
         flat = score.reshape(-1)
         k_lvl = min(k_lvl, flat.shape[0])
-        top_scores, top_idx = jax.lax.top_k(flat, k_lvl)
+        # approx_max_k: the exact flat top_k costs 0.39 ms/level on this TPU
+        # vs 6 us approximate (recall 0.95 among the strongest responses —
+        # corner selection only needs strong corners, not an exact ranking)
+        top_scores, top_idx = jax.lax.approx_max_k(flat, k_lvl,
+                                                   recall_target=0.95)
         yy = (top_idx // w).astype(jnp.int32)
         xx = (top_idx % w).astype(jnp.int32)
         ok = top_scores > 0.0
 
-        smooth = imops.gaussian_blur(level_img, sigma=2.0, radius=3)
-        patches_raw = _extract_patches(level_img, jnp.stack([xx, yy], axis=-1))
-        patches_smooth = _extract_patches(smooth, jnp.stack([xx, yy], axis=-1))
+        # ONE 40x40 gather feeds both orientation (raw center crop) and the
+        # descriptor (in-patch separable blur on the MXU)
+        patches_g = _extract_patches(level_img, jnp.stack([xx, yy], axis=-1),
+                                     patch=GPATCH)
+        B = jnp.asarray(_BLUR_MATRIX, jnp.bfloat16)
+        patches_smooth = jnp.einsum(
+            "npq,pr,qs->nrs", patches_g.astype(jnp.bfloat16), B, B,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        crop = GPATCH // 2 - HALF
+        patches_raw = patches_g[:, crop:crop + PATCH, crop:crop + PATCH]
         ang = _orientations(patches_raw)
         desc = _descriptors(patches_smooth, ang)
 

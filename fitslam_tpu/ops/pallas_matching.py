@@ -131,14 +131,19 @@ def match_ratio_fused(
     block: int = 512,
     interpret: bool = False,
 ):
-    """Drop-in for matching.hamming_matrix + matching.match_ratio, fused.
-    Falls back to the XLA path off-TPU (unless `interpret`)."""
+    """Drop-in for matching.hamming_matrix + matching.match_ratio.
+
+    Since match_ratio moved its top-2 to packed min-reductions, the XLA
+    path runs AT the matmul's MXU bound (in-graph on v5e: 20.7 us vs the
+    21.8 us bound at Nb=8192, 63 us vs 43.6 at 16k) — XLA multi-output-
+    fuses the reductions into the matmul so the distance matrix never
+    round-trips HBM. The hand-written kernel below is 6-10x slower (its
+    per-block reduction chain runs on the VPU between MXU block matmuls)
+    and is kept for reference/parity testing only; pass `interpret=True`
+    (or call hamming_top2 directly) to exercise it."""
     from fitslam_tpu.ops import matching
 
-    # the fused kernel pays off once the (Na, Nb) matrix stops fitting cache
-    # (measured on v5e: 2.2x at Nb=16k, 1.1x at 8k, slower below 4k)
-    small = desc_b.shape[0] < 4096
-    if (jax.default_backend() != "tpu" or small) and not interpret:
+    if not interpret:
         dist = matching.hamming_matrix(desc_a, desc_b, valid_a, valid_b)
         return matching.match_ratio(dist, max_distance=max_distance,
                                     ratio=ratio, mutual=mutual)

@@ -63,7 +63,7 @@ def _reduced_step(prob_global, blocks, damping):
     Hll_d = Hll + (0.05 * diag_l + damping + 1e-6) * eye3
     empty_lm = jnp.abs(Hll).sum(axis=(-2, -1)) < 1e-10
     Hll_d = jnp.where(empty_lm[:, None, None], eye3, Hll_d)
-    Hll_inv = jnp.linalg.inv(Hll_d)
+    Hll_inv = ba_mod.inv3x3(Hll_d)
     Hll_inv = jnp.where(empty_lm[:, None, None], jnp.zeros_like(eye3), Hll_inv)
     lm_free = jnp.logical_not(prob_global.fixed_lm)
     Hll_inv = Hll_inv * lm_free[:, None, None]
@@ -292,7 +292,7 @@ def landmark_sharded_bundle_adjust(
             Hll_d = Hll + (0.05 * diag_l + damping + 1e-6) * eye3
             empty_lm = jnp.abs(Hll).sum(axis=(-2, -1)) < 1e-10
             Hll_d = jnp.where(empty_lm[:, None, None], eye3, Hll_d)
-            Hll_inv = jnp.linalg.inv(Hll_d)
+            Hll_inv = ba_mod.inv3x3(Hll_d)
             Hll_inv = jnp.where(empty_lm[:, None, None], jnp.zeros_like(eye3), Hll_inv)
             lm_free = jnp.logical_not(fixed_lm_blk)
             Hll_inv = Hll_inv * lm_free[:, None, None]

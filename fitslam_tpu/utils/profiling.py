@@ -8,8 +8,8 @@ tiers (iteration / module / submodule / event), wall-clock accumulation,
 reference ships but leaves commented out — here it works).
 
 Device-time caveat: JAX dispatch is async; scopes that must measure device
-work should pass `block=True` so the result is blocked on via
-`jax.block_until_ready` before the timer stops.
+work should pass `block_on=<output>` so the result is synchronized via
+`device_sync` before the timer stops.
 """
 
 from __future__ import annotations
@@ -26,6 +26,24 @@ import jax
 
 ITERATION, MODULE, SUBMODULE, EVENT = 0, 1, 2, 3
 _TIER_NAMES = {ITERATION: "iteration", MODULE: "module", SUBMODULE: "submodule", EVENT: "event"}
+
+
+def device_sync(x) -> None:
+    """TRUE device synchronization barrier on `x` (array or pytree).
+
+    On this environment's remote TPU runtime, ``jax.block_until_ready``
+    returns once the dispatch is acknowledged — NOT when execution
+    completes (measured: a compute chain taking 14 s "blocked" in 20 ms).
+    Every wall-clock measurement that stops its timer on block_until_ready
+    therefore measures dispatch throughput, not compute. The only reliable
+    barrier is a device->host readback of a value that data-depends on the
+    pending work; this helper pulls one scalar per array leaf.
+    """
+    import numpy as _np
+
+    for leaf in jax.tree.leaves(x):
+        if hasattr(leaf, "dtype") and getattr(leaf, "size", 0):
+            _np.asarray(leaf.reshape(-1)[0])
 
 
 @dataclass
@@ -80,7 +98,7 @@ class EventLogger:
             yield
         finally:
             if block_on is not None:
-                jax.block_until_ready(block_on)
+                device_sync(block_on)
             dt = time.monotonic() - t0
             if tier <= self.time_tier:
                 self.stats[name].add(dt)
