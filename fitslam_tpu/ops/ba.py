@@ -171,20 +171,27 @@ def _schur_solve(
     Jp_w = J_pose * w[:, None, None]     # (O, 3, 6) weighted
     Jl_w = J_point * w[:, None, None]    # (O, 3, 3)
 
-    # Block Hessians via segment reductions
+    # Block Hessians via segment reductions. Scatter operands are flattened
+    # to (O, flat): multi-dim trailing shapes hit a 6x slower scatter
+    # lowering on this TPU backend (measured 0.39 vs 0.06 ms for
+    # (8192,6,3) -> 8192 segments).
+    O_n = obs.kf.shape[0]
     Hpp = jax.ops.segment_sum(
-        _einsum("oij,oik->ojk", Jp_w, J_pose), obs.kf, num_segments=K_n
-    )  # (K, 6, 6)
+        _einsum("oij,oik->ojk", Jp_w, J_pose).reshape(O_n, 36),
+        obs.kf, num_segments=K_n,
+    ).reshape(K_n, 6, 6)
     Hll = jax.ops.segment_sum(
-        _einsum("oij,oik->ojk", Jl_w, J_point), obs.lm, num_segments=L_n
-    )  # (L, 3, 3)
+        _einsum("oij,oik->ojk", Jl_w, J_point).reshape(O_n, 9),
+        obs.lm, num_segments=L_n,
+    ).reshape(L_n, 3, 3)
     bp = -jax.ops.segment_sum(_einsum("oij,oi->oj", Jp_w, res), obs.kf, num_segments=K_n)
     bl = -jax.ops.segment_sum(_einsum("oij,oi->oj", Jl_w, res), obs.lm, num_segments=L_n)
 
     # Coupling tensor Y[k, l] = sum_obs Jp^T W Jl  — scatter-add into dense (K*L)
     Hpl_o = _einsum("oij,oik->ojk", Jp_w, J_point)  # (O, 6, 3)
     flat_idx = obs.kf * L_n + obs.lm
-    Y = jax.ops.segment_sum(Hpl_o, flat_idx, num_segments=K_n * L_n)
+    Y = jax.ops.segment_sum(Hpl_o.reshape(O_n, 18), flat_idx,
+                            num_segments=K_n * L_n)
     Y = Y.reshape(K_n, L_n, 6, 3)
 
     # Damped landmark-block inverse (3x3, batched closed form via solve).

@@ -39,13 +39,21 @@ def _local_blocks(K: Intrinsics, T_cw: lie.SE3, points, fixed_lm, obs: ba_mod.Ob
 
     Jp_w = J_pose * w[:, None, None]
     Jl_w = J_point * w[:, None, None]
-    Hpp = jax.ops.segment_sum(jnp.einsum("oij,oik->ojk", Jp_w, J_pose), obs.kf, num_segments=K_n)
-    Hll = jax.ops.segment_sum(jnp.einsum("oij,oik->ojk", Jl_w, J_point), obs.lm, num_segments=L_n)
+    # scatter operands flattened to (O, flat): multi-dim trailing shapes hit
+    # a 6x slower scatter lowering on this TPU backend (see ops/ba.py)
+    O_n = obs.kf.shape[0]
+    Hpp = jax.ops.segment_sum(
+        jnp.einsum("oij,oik->ojk", Jp_w, J_pose).reshape(O_n, 36),
+        obs.kf, num_segments=K_n).reshape(K_n, 6, 6)
+    Hll = jax.ops.segment_sum(
+        jnp.einsum("oij,oik->ojk", Jl_w, J_point).reshape(O_n, 9),
+        obs.lm, num_segments=L_n).reshape(L_n, 3, 3)
     bp = -jax.ops.segment_sum(jnp.einsum("oij,oi->oj", Jp_w, res), obs.kf, num_segments=K_n)
     bl = -jax.ops.segment_sum(jnp.einsum("oij,oi->oj", Jl_w, res), obs.lm, num_segments=L_n)
     Hpl_o = jnp.einsum("oij,oik->ojk", Jp_w, J_point)
     flat_idx = obs.kf * L_n + obs.lm
-    Y = jax.ops.segment_sum(Hpl_o, flat_idx, num_segments=K_n * L_n).reshape(K_n, L_n, 6, 3)
+    Y = jax.ops.segment_sum(Hpl_o.reshape(O_n, 18), flat_idx,
+                            num_segments=K_n * L_n).reshape(K_n, L_n, 6, 3)
 
     chi2_tot = jnp.sum(jnp.where(ok, jnp.minimum(chi2, 7.815 * 4), 0.0))
     out = (Hpp, Hll, bp, bl, Y, chi2_tot)
@@ -262,25 +270,28 @@ def landmark_sharded_bundle_adjust(
             w = jnp.where(ok, w, 0.0)
             Jp_w = J_pose * w[:, None, None]
             Jl_w = J_point * w[:, None, None]
+            O_n = obs_local.kf.shape[0]
+            # scatter operands flattened to (O, flat) — see ops/ba.py note
             # pose-side reductions cross landmark shards -> psum
             Hpp = jax.lax.psum(
-                jax.ops.segment_sum(jnp.einsum("oij,oik->ojk", Jp_w, J_pose),
-                                    obs_local.kf, num_segments=K_n), axis)
+                jax.ops.segment_sum(
+                    jnp.einsum("oij,oik->ojk", Jp_w, J_pose).reshape(O_n, 36),
+                    obs_local.kf, num_segments=K_n), axis).reshape(K_n, 6, 6)
             bp = -jax.lax.psum(
                 jax.ops.segment_sum(jnp.einsum("oij,oi->oj", Jp_w, res),
                                     obs_local.kf, num_segments=K_n), axis)
             # landmark-side blocks stay local: every obs of a landmark lives
             # on its owner shard, so no cross-device reduction is needed
             Hll = jax.ops.segment_sum(
-                jnp.einsum("oij,oik->ojk", Jl_w, J_point), obs_local.lm,
-                num_segments=Lb)
+                jnp.einsum("oij,oik->ojk", Jl_w, J_point).reshape(O_n, 9),
+                obs_local.lm, num_segments=Lb).reshape(Lb, 3, 3)
             bl = -jax.ops.segment_sum(
                 jnp.einsum("oij,oi->oj", Jl_w, res), obs_local.lm,
                 num_segments=Lb)
             flat = obs_local.kf * Lb + obs_local.lm
             Y = jax.ops.segment_sum(
-                jnp.einsum("oij,oik->ojk", Jp_w, J_point), flat,
-                num_segments=K_n * Lb).reshape(K_n, Lb, 6, 3)
+                jnp.einsum("oij,oik->ojk", Jp_w, J_point).reshape(O_n, 18),
+                flat, num_segments=K_n * Lb).reshape(K_n, Lb, 6, 3)
             chi_tot = jax.lax.psum(
                 jnp.sum(jnp.where(ok, jnp.minimum(chi2, 7.815 * 4), 0.0)), axis)
             return Hpp, Hll, bp, bl, Y, chi_tot
