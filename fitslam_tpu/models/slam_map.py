@@ -412,24 +412,45 @@ def gather_covis_problem(
     idx = jnp.nonzero(in_win, size=max_obs_local,
                       fill_value=m.obs_valid.shape[0] - 1)[0]
     sel_valid = in_win[idx]
+    obs_lm_old = m.obs_lm[idx]
+
+    # Compact the TOUCHED landmarks into a dense local index space of size
+    # L_loc = max_obs_local // 2: every L-shaped tensor of the solve (Hll,
+    # the (K, L, 6, 3) coupling Y, and its Schur einsums) shrinks by
+    # L_cap / L_loc. A covis window of `window` keyframes can reference at
+    # most window * num_features distinct landmarks (~3k in practice);
+    # overflow slots degrade gracefully (their observations are dropped
+    # from this solve only).
+    L_cap = m.lm_pos.shape[0]
+    L_loc = max_obs_local // 2
+    touched = jnp.zeros((L_cap + 1,), bool).at[
+        jnp.where(sel_valid, obs_lm_old, L_cap)
+    ].set(True)[:L_cap]
+    new_idx = jnp.cumsum(touched.astype(jnp.int32)) - 1
+    slot_ok = touched & (new_idx < L_loc)
+    old2new = jnp.where(slot_ok, new_idx, L_loc)
+    sel_old = jnp.nonzero(slot_ok, size=L_loc, fill_value=L_cap - 1)[0]
+    slot_valid = jnp.arange(L_loc) < jnp.sum(slot_ok.astype(jnp.int32))
+    lm_new = old2new[obs_lm_old]
     obs = Observations(
         kf=jnp.clip(inv[m.obs_kf[idx]], 0, window - 1),
-        lm=m.obs_lm[idx],
+        lm=jnp.minimum(lm_new, L_loc - 1),
         uvr=m.obs_uvr[idx],
         sigma2=m.obs_sigma2[idx],
-        valid=sel_valid,
+        valid=sel_valid & (lm_new < L_loc),
     )
     T_win = lie.SE3(m.kf_T_cw.R[w_idx], m.kf_T_cw.t[w_idx])
     fixed_kf = jnp.logical_not(kf_exists) | (jnp.arange(window) == 0)
     # landmarks anchored outside the covisible set stay fixed (the anchor to
     # the rest of the map, mirroring ORB-SLAM3's fixed-KF fringe)
     anchor_in = inv[m.lm_anchor_kf] >= 0
-    fixed_lm = jnp.logical_not(m.lm_valid) | jnp.logical_not(anchor_in)
+    fixed_lm_full = jnp.logical_not(m.lm_valid) | jnp.logical_not(anchor_in)
+    fixed_lm = jnp.logical_not(slot_valid) | fixed_lm_full[sel_old]
     prob = BAProblem(
-        T_cw=T_win, points=m.lm_pos, obs=obs,
+        T_cw=T_win, points=m.lm_pos[sel_old], obs=obs,
         fixed_kf=fixed_kf, fixed_lm=fixed_lm,
     )
-    return prob, w_idx, kf_exists
+    return prob, w_idx, kf_exists, sel_old, (slot_valid & ~fixed_lm)
 
 
 @vjit(static_argnames=("iters",))
@@ -500,17 +521,24 @@ def local_ba(
     from fitslam_tpu.ops import ba as ba_mod
 
     if covis:
-        prob, w_idx, kf_exists = gather_covis_problem(m, window, max_obs_local)
+        prob, w_idx, kf_exists, lm_sel_old, lm_writeback = gather_covis_problem(
+            m, window, max_obs_local)
     else:
         prob, start, w_idx = gather_window_problem(m, window, max_obs_local)
         kf_exists = (w_idx < m.n_kf) & m.kf_valid[w_idx]
+        lm_sel_old = None
     out, _ = ba_mod.bundle_adjust(K, prob, iters=iters, damping=1e-3)
 
     # scatter optimized window poses back (only slots that actually exist)
     exists = kf_exists[:, None]
     R = m.kf_T_cw.R.at[w_idx].set(jnp.where(exists[..., None], out.T_cw.R, m.kf_T_cw.R[w_idx]))
     t = m.kf_T_cw.t.at[w_idx].set(jnp.where(exists, out.T_cw.t, m.kf_T_cw.t[w_idx]))
-    pts = jnp.where(m.lm_valid[:, None], out.points, m.lm_pos)
+    if lm_sel_old is not None:
+        # compacted local landmark space: scatter the moved points back
+        pts = m.lm_pos.at[lm_sel_old].set(
+            jnp.where(lm_writeback[:, None], out.points, m.lm_pos[lm_sel_old]))
+    else:
+        pts = jnp.where(m.lm_valid[:, None], out.points, m.lm_pos)
     m = m._replace(kf_T_cw=lie.SE3(R, t), lm_pos=pts)
 
     # refresh anchor-frame positions for landmarks anchored inside the window

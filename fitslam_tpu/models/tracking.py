@@ -140,7 +140,7 @@ def track_frame(
     # (ORB-SLAM3 S1: other maps are reachable via relocalization/merge only)
     lm_map_ok = m.kf_map_id[m.lm_anchor_kf] == state.map_id
 
-    def project_and_match(T_base, radius):
+    def project_uv(T_base):
         p_c, vis = landmarks_in_view(
             m, K, lie.inverse(T_base), jnp.float32(40.0), width, height
         )
@@ -150,7 +150,9 @@ def track_frame(
             [K.fx * p_c[..., 0] / z_safe + K.cx, K.fy * p_c[..., 1] / z_safe + K.cy],
             axis=-1,
         )
-        lm_uv = jnp.where(vis[:, None], lm_uv, -1e6)
+        return jnp.where(vis[:, None], lm_uv, -1e6)
+
+    def match_at(lm_uv, radius):
         return matching.match_windowed(
             dist, feats.xy, lm_uv, radius, max_distance=match_max_hamming,
             ratio=match_ratio,
@@ -165,27 +167,38 @@ def track_frame(
     # rotation-hypothesis sweep: a camera pan between frames shifts every
     # feature by ~fx*dyaw px; when that exceeds the association window the
     # motion-model prediction alone cannot re-latch (and wide windows are
-    # ambiguous under repetitive texture). Try a batch of pan offsets around
-    # the prediction, keep the hypothesis with the most windowed matches —
-    # zero-offset first so it wins ties.
+    # ambiguous under repetitive texture). Score a batch of pan offsets
+    # around the prediction by the CHEAP candidate count (in-window pairs
+    # under the Hamming gate — one fused mask-reduce per hypothesis,
+    # 0.12 ms for all 11 vs 0.80 ms for full matches), then run the full
+    # ratio-test match only at the winning offset — zero-offset first so
+    # it wins ties.
     spacing = 0.8 * search_radius / K.fx
     offsets = spacing * jnp.array(
         [0.0, -1.0, 1.0, -2.0, 2.0, -3.0, 3.0, -4.0, 4.0, -5.0, 5.0]
     )
 
-    def hyp(off):
+    def hyp_uv(off):
         T_h = lie.compose(lie.se3_exp(jnp.zeros((6,)).at[4].set(off)), T_pred)
-        mt = project_and_match(T_h, search_radius)
-        return T_h, mt, jnp.sum(mt.valid)
+        return T_h, project_uv(T_h)
 
-    T_hs, mts, counts = jax.lax.map(hyp, offsets)
+    T_hs, lm_uvs = jax.lax.map(hyp_uv, offsets)
+    good = dist <= match_max_hamming          # (Na, Nb), computed once
+    r2 = search_radius * search_radius
+
+    def count(lm_uv):
+        d2 = ((feats.xy[:, None, 0] - lm_uv[None, :, 0]) ** 2
+              + (feats.xy[:, None, 1] - lm_uv[None, :, 1]) ** 2)
+        return jnp.sum((d2 <= r2) & good)
+
+    counts = jax.lax.map(count, lm_uvs)
     best = jnp.argmax(counts)
     T_best = jax.tree.map(lambda a: a[best], T_hs)
-    mt_n = jax.tree.map(lambda a: a[best], mts)
+    mt_n = match_at(lm_uvs[best], search_radius)
     T_n, inl_n = solve(T_best, mt_n)
 
     # wide-window fallback at the raw prediction (translation-dominant error)
-    mt_w = project_and_match(T_pred, wide_radius)
+    mt_w = match_at(project_uv(T_pred), wide_radius)
     T_w, inl_w = solve(T_pred, mt_w)
     narrow_ok = jnp.sum(inl_n) >= min_inliers
     mt, T_new, inl = jax.tree.map(

@@ -318,22 +318,32 @@ def solve_pose(
         w = inv_s2 * huber_weight(chi2, delta=jnp.sqrt(5.991))
         return res, J_pose, w, ok, chi2
 
-    def body(T, _):
-        res, J, w, ok, chi2 = lin(T)
+    def robust_sum(ok, chi2):
+        return jnp.sum(jnp.where(ok, jnp.minimum(chi2, 5.991 * 4), 0.0))
+
+    # ONE linearization per iteration: the carry holds the current pose's
+    # linearization, the body proposes a step from it and linearizes only
+    # the candidate (whose linearization becomes the carry on accept).
+    def body(carry, _):
+        T, res, J, w, ok, c_old = carry
         Jw = J * w[:, None, None]
         H = _einsum("oij,oik->jk", Jw, J) + damping * jnp.eye(6)
         b = -_einsum("oij,oi->j", Jw, res)
         dx = jnp.linalg.solve(H, b)
         T_new = lie.compose(lie.se3_exp(dx), T)
-        # accept/reject
-        c_old = jnp.sum(jnp.where(ok, jnp.minimum(chi2, 5.991 * 4), 0.0))
-        _, _, _, ok2, chi2_new = lin(T_new)
-        c_new = jnp.sum(jnp.where(ok2, jnp.minimum(chi2_new, 5.991 * 4), 0.0))
+        res2, J2, w2, ok2, chi2_new = lin(T_new)
+        c_new = robust_sum(ok2, chi2_new)
         accept = c_new < c_old
-        T_out = jax.tree.map(lambda a, b_: jnp.where(accept, a, b_), T_new, T)
-        return T_out, None
+        out = jax.tree.map(
+            lambda a, b_: jnp.where(accept, a, b_),
+            (T_new, res2, J2, w2, ok2, c_new),
+            (T, res, J, w, ok, c_old),
+        )
+        return out, None
 
-    T_fin, _ = jax.lax.scan(body, T_cw0, None, length=iters)
+    res0, J0, w0, ok0, chi20 = lin(T_cw0)
+    carry0 = (T_cw0, res0, J0, w0, ok0, robust_sum(ok0, chi20))
+    (T_fin, *_), _ = jax.lax.scan(body, carry0, None, length=iters)
     _, _, _, ok, chi2 = lin(T_fin)
     inliers = ok & (chi2 < jnp.where(stereo, 7.815, 5.991))
     total = jnp.sum(jnp.where(ok, jnp.minimum(chi2, 5.991 * 4), 0.0))

@@ -15,8 +15,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-BIG = 1 << 20  # sentinel distance for masked entries (>> 256 bits); python int
-# so it embeds as a literal instead of a captured device scalar
+BIG = 20000  # sentinel distance for masked entries (> 256 bits, int16-safe);
+# python int so it embeds as a literal instead of a captured device scalar
 
 
 class Matches(NamedTuple):
@@ -29,11 +29,13 @@ class Matches(NamedTuple):
 
 def hamming_matrix(desc_a: jax.Array, desc_b: jax.Array,
                    valid_a: jax.Array, valid_b: jax.Array) -> jax.Array:
-    """(Na, 256) x (Nb, 256) ±1 bfloat16 -> (Na, Nb) int32 Hamming distances.
+    """(Na, 256) x (Nb, 256) ±1 bfloat16 -> (Na, Nb) int16 Hamming distances.
 
     For ±1 vectors, dot = 256 - 2 * hamming, so the full distance matrix is
     one MXU matmul (f32 accumulate keeps it exact). Masked rows/cols get the
-    BIG sentinel.
+    BIG sentinel. int16 (distances are <= 256): the tracking hypothesis
+    sweep re-reads this matrix 12x per frame and is bound by that HBM
+    traffic — halving the element width halves the sweep time.
     """
     dot = jax.lax.dot_general(
         desc_a, desc_b,
@@ -46,10 +48,8 @@ def hamming_matrix(desc_a: jax.Array, desc_b: jax.Array,
     bits = desc_a.shape[-1]
     d = (bits - dot) * 0.5
     mask = valid_a[:, None] & valid_b[None, :]
-    # Select in f32 and cast afterwards: fusing an int32 select into the
-    # matmul consumer hits a ~300x slow path in the TPU backend (measured
-    # 29 ms vs 0.1 ms for 1024x1024).
-    return jnp.where(mask, d, float(BIG)).astype(jnp.int32)
+    # select in f32, cast once afterwards
+    return jnp.where(mask, d, float(BIG)).astype(jnp.int16)
 
 
 _SENTINEL = 512  # stands in for BIG inside packed keys (> any true distance)
@@ -76,7 +76,7 @@ def match_ratio(
     """
     na, nb = dist.shape
     cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-    d = jnp.minimum(dist, _SENTINEL)
+    d = jnp.minimum(dist, _SENTINEL).astype(jnp.int32)
     packed = d * nb + cols
     p1 = jnp.min(packed, axis=1)
     best = p1 // nb
