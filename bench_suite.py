@@ -34,6 +34,14 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
+def _sync(x):
+    """True device barrier (utils.profiling.device_sync): block_until_ready
+    returns at dispatch-accept on this backend (BENCH_NOTES.md)."""
+    from fitslam_tpu.utils.profiling import device_sync
+
+    device_sync(x)
+
+
 BASELINE_FPS = 60.0
 BASELINE_TICK_HZ = 5.0      # rapid-mode pipeline RateController (SURVEY §6)
 TARGET_EFFICIENCY = 0.70    # BASELINE.json north star
@@ -105,7 +113,7 @@ def bench_loop_slam(small: bool, n_frames: int = 200):
         Ti = lie.SE3(T_gt.R[i], T_gt.t[i])
         l, r = synthetic.render_stereo(K, world, Ti, width=W, height=H,
                                        max_depth=14.0)
-        frames.append((jax.block_until_ready(l), jax.block_until_ready(r)))
+        frames.append((l, r))
 
     # warm pass compiles every shape (incl. loop-closing kernels)
     warm = StereoSlam(cfg)
@@ -178,8 +186,7 @@ def bench_rgbd_fusion(small: bool, n_frames: int = 60):
         cloud, cvalid = synthetic.frustum_cloud(
             K, world, Ti, max_points=cfg.traversability.max_points_per_cloud,
             max_depth=8.0, width=W, height=H)
-        frames.append(tuple(jax.block_until_ready(x)
-                            for x in (img, depth, cloud, cvalid)))
+        frames.append((img, depth, cloud, cvalid))
 
     def run(measure: bool):
         slam = StereoSlam(cfg)
@@ -214,7 +221,7 @@ def bench_rgbd_fusion(small: bool, n_frames: int = 60):
                     max_cluster_size=20)
                 n_front = int(fr.valid.sum())
         if occ is not None:
-            jax.block_until_ready(occ)
+            _sync(occ)
         return time.monotonic() - t0, slam, n_front
 
     run(measure=False)                       # warm/compile
@@ -297,7 +304,7 @@ def bench_active_slam(small: bool, n_frames: int = 80):
         cloud, cvalid = synthetic.frustum_cloud(
             K, world3d, cam, max_points=cfg.traversability.max_points_per_cloud,
             max_depth=8.0, width=W, height=H)
-        jax.block_until_ready(left)
+        _sync(left)
         if step == 8:
             t0 = time.monotonic()   # skip compile-heavy first steps
         system.process_frame(left, right, cloud, cvalid)
@@ -347,12 +354,12 @@ def bench_ba(small: bool):
         prob, T_gt, pts_gt = _make_problem(jax.random.PRNGKey(7), **sz)
         # warm
         _, stats = ba.bundle_adjust(K_test, prob, iters=iters)
-        jax.block_until_ready(stats.chi2)
+        _sync(stats.chi2)
         t0 = time.monotonic()
         reps = 3
         for _ in range(reps):
             _, stats = ba.bundle_adjust(K_test, prob, iters=iters)
-        jax.block_until_ready(stats.chi2)
+        _sync(stats.chi2)
         wall = time.monotonic() - t0
         extra[name] = {
             "iters_per_s": round(reps * iters / wall, 2),
@@ -397,12 +404,12 @@ def run(n_dev, reps=3):
     packed = dist_ba.shard_problem_by_landmark(prob, n_dev)
     mesh = make_mesh(n_dev, ("data",))
     _, chis = dist_ba.landmark_sharded_bundle_adjust(mesh, K_test, packed, iters=iters)
-    jax.block_until_ready(chis)
+    float(chis[-1])   # true barrier (host readback)
     t0 = time.monotonic()
     for _ in range(reps):
         _, chis = dist_ba.landmark_sharded_bundle_adjust(mesh, K_test, packed, iters=iters)
-    jax.block_until_ready(chis)
-    return (time.monotonic() - t0) / reps, float(chis[-1])
+    chi_last = float(chis[-1])
+    return (time.monotonic() - t0) / reps, chi_last
 
 t1, chi1 = run(1)
 t2, chi2 = run(2)
@@ -584,7 +591,7 @@ def bench_marsyard(small: bool, n_frames: int = 150):
         cloud, cvalid = synthetic.frustum_cloud(
             K, mw.world, cam, max_points=cfg.traversability.max_points_per_cloud,
             max_depth=8.0, width=W, height=H)
-        jax.block_until_ready(left)
+        _sync(left)
         if step == 8:
             t0 = time.monotonic()
         system.process_frame(left, right, cloud, cvalid)
@@ -635,8 +642,199 @@ def bench_marsyard(small: bool, n_frames: int = 150):
     })
 
 
+def bench_kernels(small: bool):
+    """In-graph per-kernel timings — the data behind MFU.md's tables.
+
+    Method (BENCH_NOTES.md): each kernel runs inside a jitted lax.scan whose
+    carry threads the perturbed input through every iteration (defeats
+    loop-invariant hoisting); the loop output is read back to host (the only
+    true barrier on this backend); per-iteration time is differenced across
+    two loop lengths to cancel the fixed dispatch+readback cost."""
+    import jax
+    import jax.numpy as jnp
+
+    from fitslam_tpu.ops import matching, orb
+    from fitslam_tpu.ops.pallas_matching import hamming_top2
+    from fitslam_tpu.ops.pallas_grid import wavefront_sweeps, BIG as WBIG
+    from fitslam_tpu.ops.pallas_patches import gather_patches
+    from fitslam_tpu.ops import fisher
+
+    N1, N2, REPS = (4, 16, 3) if small else (8, 40, 4)
+
+    def measure(step, init_carry, args):
+        def make(iters):
+            @jax.jit
+            def loop(carry, args):
+                def body(c, _):
+                    return step(c, *args), ()
+                c, _ = jax.lax.scan(body, carry, None, length=iters)
+                return c
+            return loop
+        l1, l2 = make(N1), make(N2)
+        float(l1(init_carry, args)[0]); float(l2(init_carry, args)[0])
+        t1 = t2 = 1e9
+        for _ in range(REPS):
+            t0 = time.monotonic(); float(l1(init_carry, args)[0])
+            t1 = min(t1, time.monotonic() - t0)
+            t0 = time.monotonic(); float(l2(init_carry, args)[0])
+            t2 = min(t2, time.monotonic() - t0)
+        return (t2 - t1) / (N2 - N1)
+
+    out = {}
+    key = jax.random.PRNGKey(0)
+    Na = 256 if small else 1024
+    bits = 256
+    on_tpu = jax.default_backend() == "tpu"   # Pallas kernels are TPU-only
+
+    def touch(d, v):
+        return d.at[(0,) * d.ndim].set((v * 1e-30).astype(d.dtype))
+
+    # --- descriptor matching: XLA packed path vs Pallas kernel vs MXU bound
+    da = (jax.random.bernoulli(key, 0.5, (Na, bits)).astype(jnp.bfloat16) * 2 - 1)
+    va = jnp.ones((Na,), bool)
+    for Nb in ((1024,) if small else (4096, 8192, 16384)):
+        db = (jax.random.bernoulli(jax.random.fold_in(key, Nb), 0.5,
+                                   (Nb, bits)).astype(jnp.bfloat16) * 2 - 1)
+        vb = jnp.ones((Nb,), bool)
+
+        def xla_step(c, db, va, vb):
+            s, d = c
+            m = matching.match_ratio(matching.hamming_matrix(d, db, va, vb))
+            v = (m.distance.sum() + m.idx_b.sum()).astype(jnp.float32)
+            return (s + v, touch(d, v))
+
+        def pal_step(c, db, va, vb):
+            s, d = c
+            idx, d1, d2, colb = hamming_top2(d, va, db, vb)
+            v = d1.sum() + idx.sum() + colb.sum()
+            return (s + v, touch(d, v))
+
+        args = (db, va, vb)
+        out[f"match_xla_us_Nb{Nb}"] = round(
+            measure(xla_step, (jnp.float32(0), da), args) * 1e6, 1)
+        if on_tpu:
+            out[f"match_pallas_us_Nb{Nb}"] = round(
+                measure(pal_step, (jnp.float32(0), da), args) * 1e6, 1)
+        out[f"match_mxu_bound_us_Nb{Nb}"] = round(
+            2 * Na * Nb * bits / 197e12 * 1e6, 1)
+
+    # --- wavefront: Pallas VMEM-resident sweeps vs XLA roll loop
+    for G, iters in ((64, 192),) if small else ((256, 512), (512, 512)):
+        kg = jax.random.PRNGKey(G)
+        step_cost = jax.random.uniform(kg, (G, G)) * 0.3 + 0.25
+        passable = jax.random.bernoulli(jax.random.fold_in(kg, 1), 0.9, (G, G))
+        pot0 = jnp.full((G * G,), WBIG).at[G * G // 2].set(0.0).reshape(G, G)
+
+        def pal(c, step_cost, passable):
+            s, p0 = c
+            o = wavefront_sweeps(p0, step_cost, passable, iters)
+            v = jnp.sum(jnp.where(o < WBIG, o, 0.0))
+            return (s + v * 1e-30, p0.at[0, 0].set(v * 1e-30 + WBIG))
+
+        def xla(c, step_cost, passable):
+            s, p0 = c
+            sc = jnp.where(passable, step_cost, WBIG)
+
+            def sweep(_, pot):
+                up = jnp.roll(pot, 1, axis=0).at[0, :].set(WBIG)
+                dn = jnp.roll(pot, -1, axis=0).at[-1, :].set(WBIG)
+                lf = jnp.roll(pot, 1, axis=1).at[:, 0].set(WBIG)
+                rt = jnp.roll(pot, -1, axis=1).at[:, -1].set(WBIG)
+                best = jnp.minimum(jnp.minimum(up, dn), jnp.minimum(lf, rt))
+                return jnp.minimum(pot, jnp.where(passable, best + sc, WBIG))
+            o = jax.lax.fori_loop(0, iters, sweep, p0)
+            v = jnp.sum(jnp.where(o < WBIG, o, 0.0))
+            return (s + v * 1e-30, p0.at[0, 0].set(v * 1e-30 + WBIG))
+
+        args = (step_cost, passable)
+        if on_tpu:
+            out[f"wavefront_pallas_ms_G{G}"] = round(
+                measure(pal, (jnp.float32(0), pot0), args) * 1e3, 3)
+        out[f"wavefront_xla_ms_G{G}"] = round(
+            measure(xla, (jnp.float32(0), pot0), args) * 1e3, 3)
+
+    # --- patch gather: Pallas vs vmapped dynamic_slice
+    W, H = (320, 240) if small else (640, 480)
+    img = jax.random.uniform(key, (H, W)) * 255.0
+    xy = jnp.stack([jnp.arange(Na) % (W - 40) + 20,
+                    jnp.arange(Na) % (H - 40) + 20], -1).astype(jnp.int32)
+
+    def pg_pal(c, xy):
+        s, im = c
+        p = gather_patches(im, xy, 40)
+        v = p.sum()
+        return (s + v * 1e-30, im.at[0, 0].set(v * 1e-30))
+
+    def pg_xla(c, xy):
+        s, im = c
+        padded = jnp.pad(im, ((20, 20), (20, 20)))
+
+        def one(p):
+            return jax.lax.dynamic_slice(padded, (p[1], p[0]), (40, 40))
+        p = jax.vmap(one)(xy)
+        v = p.sum()
+        return (s + v * 1e-30, im.at[0, 0].set(v * 1e-30))
+
+    out["patch_gather_pallas_ms"] = round(
+        measure(pg_pal, (jnp.float32(0), img), (xy,)) * 1e3, 3)
+    out["patch_gather_xla_ms"] = round(
+        measure(pg_xla, (jnp.float32(0), img), (xy,)) * 1e3, 3)
+
+    # --- ORB frontend (the per-frame FLOPs dominator)
+    levels = 2 if small else 4
+
+    def orb_step(c, _):
+        s, im = c
+        f = orb.extract_orb(im, Na, levels, 1.4142135, 12.0)
+        v = jnp.sum(f.response) + jnp.sum(f.desc.astype(jnp.float32))
+        return (s + v * 1e-30, im.at[0, 0].set(v * 1e-30))
+    out["extract_orb_ms"] = round(
+        measure(orb_step, (jnp.float32(0), img), (None,)) * 1e3, 3)
+
+    # --- BA Gauss-Newton iteration (local-window and global sizes)
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
+    from test_ba import K as K_test, _make_problem
+    from fitslam_tpu.ops import ba as ba_mod
+
+    sizes = {"local": dict(n_kf=4, n_lm=512 if small else 4096,
+                           n_obs=1024 if small else 8192)}
+    if not small:
+        sizes["global"] = dict(n_kf=64, n_lm=8192, n_obs=32768)
+    for name, sz in sizes.items():
+        prob, _, _ = _make_problem(jax.random.PRNGKey(7), **sz)
+
+        def ba1(c, prob):
+            s, t = c
+            p = prob._replace(points=prob.points + s * 1e-30)
+            o, stats = ba_mod.bundle_adjust(K_test, p, iters=1)
+            v = stats.chi2[-1] + jnp.sum(o.points) * 1e-20
+            return (s + v * 1e-30, t)
+        out[f"ba_iter_{name}_ms"] = round(
+            measure(ba1, (jnp.float32(0), jnp.float32(0)), (prob,)) * 1e3, 3)
+
+    # --- FIM batched trace (the safety-oracle hot op)
+    n_pts = 512 if small else 8192
+    pts = jax.random.normal(jax.random.fold_in(key, 9), (n_pts, 3)) * 4.0 + jnp.array([0, 0, 6.0])
+
+    def fim_step(c, _):
+        s, p = c
+        info = jax.vmap(fisher.point_information_local)(p)
+        v = jnp.sum(info)
+        return (s + v * 1e-30, p.at[0, 0].set(v * 1e-30))
+    out["fim_trace_8192_us"] = round(
+        measure(fim_step, (jnp.float32(0), pts), (None,)) * 1e6, 1)
+
+    _emit("kernel_match_us_at_map_capacity",
+          out.get("match_xla_us_Nb8192", out.get("match_xla_us_Nb1024", 0.0)),
+          "us",
+          (out.get("match_mxu_bound_us_Nb8192", 1.0)
+           / max(out.get("match_xla_us_Nb8192", 1.0), 1e-9)),
+          out)
+
+
 MODES = {
     "loop_slam": bench_loop_slam,
+    "kernels": bench_kernels,
     "rgbd_fusion": bench_rgbd_fusion,
     "active_slam": bench_active_slam,
     "marsyard": bench_marsyard,

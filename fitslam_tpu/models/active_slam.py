@@ -91,6 +91,8 @@ class ActiveSlamSystem:
         # external localization consumer) works in a world frame. T_anchor is
         # the first camera's world pose, set on the first frame.
         self.T_anchor: Optional[lie.SE3] = None
+        self._anchor_np: Optional[np.ndarray] = None  # host mirror of T_anchor
+        self._ekf_pose_cache = None  # (xy, yaw) until the next EKF input
 
         self.explorer = ExplorationServer(
             cfg, spec,
@@ -111,6 +113,7 @@ class ActiveSlamSystem:
     def set_world_anchor(self, T_wc_first: lie.SE3):
         """Register the first camera's world pose (sim/GT or external init)."""
         self.T_anchor = T_wc_first
+        self._anchor_np = None
 
     def kf_poses_world(self):
         """Keyframe camera-from-world poses expressed in the world frame."""
@@ -120,15 +123,30 @@ class ActiveSlamSystem:
         T_cw_world = lie.compose(m.kf_T_cw, lie.inverse(self.T_anchor))
         return T_cw_world, m.n_kf
 
-    def _slam_pose_world(self) -> Tuple[np.ndarray, float]:
-        """Raw SLAM pose in the world frame (xy, yaw)."""
+    def _slam_pose_world(self, pose_wc_np=None) -> Tuple[np.ndarray, float]:
+        """Raw SLAM pose in the world frame (xy, yaw).
+
+        When the caller already holds the frame's pose matrix (numpy, from
+        the frame step's packed pull), the anchor composition happens in
+        host math with ZERO device pulls; otherwise one packed pull — each
+        device->host pull costs a full tunnel RTT (BENCH_NOTES.md)."""
+        import jax.numpy as jnp
+
+        if pose_wc_np is not None:
+            T_np = np.asarray(pose_wc_np, np.float64)
+            if self.T_anchor is not None:
+                if self._anchor_np is None:
+                    self._anchor_np = np.asarray(self.T_anchor.matrix(),
+                                                 np.float64)
+                T_np = self._anchor_np @ T_np
+            fwd = T_np[:3, 2]
+            return T_np[:2, 3], math.atan2(fwd[1], fwd[0])
         T = self.slam.current_pose_wc  # slam frame
         if self.T_anchor is not None:
             T = lie.compose(self.T_anchor, T)
-        fwd = np.asarray(T.R[:, 2])     # camera +z (forward)
-        yaw = math.atan2(float(fwd[1]), float(fwd[0]))
-        t = np.asarray(T.t)
-        return t[:2], yaw
+        v = np.asarray(jnp.concatenate([T.R[:, 2], T.t]))
+        yaw = math.atan2(float(v[1]), float(v[0]))  # camera +z (forward)
+        return v[3:5].astype(np.float64), yaw
 
     def estimated_robot_pose(self) -> Tuple[np.ndarray, float]:
         """Robot pose in the world frame (xy, yaw): the EKF map-frame
@@ -137,10 +155,15 @@ class ActiveSlamSystem:
             if self._ekf_dirty:
                 self.ekf.flush()
                 self._ekf_dirty = False
-            x = np.asarray(self.ekf.map_state.x)
-            from fitslam_tpu.models import localization as loc
+                self._ekf_pose_cache = None
+            if self._ekf_pose_cache is None:
+                # one pull per EKF UPDATE, not per query (tunnel RTT)
+                x = np.asarray(self.ekf.map_state.x)
+                from fitslam_tpu.models import localization as loc
 
-            return x[[loc.X, loc.Y]].astype(np.float64), float(x[loc.YAW])
+                self._ekf_pose_cache = (
+                    x[[loc.X, loc.Y]].astype(np.float64), float(x[loc.YAW]))
+            return self._ekf_pose_cache
         return self._slam_pose_world()
 
     # ------------------------------------------------------------------
@@ -158,6 +181,7 @@ class ActiveSlamSystem:
         self.ekf.add_imu(0.0, 0.0, omega, 0.0, var=lcfg.imu_rate_var,
                          gate=lcfg.imu_gate)
         self._ekf_dirty = True
+        self._ekf_pose_cache = None
 
     def observe_imu_orientation(self, roll: float, pitch: float, yaw: float):
         """Absolute AHRS orientation (the imu0_config orientation rows)."""
@@ -168,10 +192,11 @@ class ActiveSlamSystem:
                          var=lcfg.imu_rate_var, ori_var=lcfg.imu_ori_var,
                          gate=lcfg.imu_gate)
         self._ekf_dirty = True
+        self._ekf_pose_cache = None
 
-    def _fuse_slam_pose(self):
+    def _fuse_slam_pose(self, pose_wc_np=None):
         lcfg = self.cfg.localization
-        xy, yaw = self._slam_pose_world()
+        xy, yaw = self._slam_pose_world(pose_wc_np)
         if self._slam_fuse_counter == 0:
             # first fix: seed both filters at the SLAM pose (datum), exactly
             # as navsat_transform seeds the map frame from the first GPS fix
@@ -189,6 +214,7 @@ class ActiveSlamSystem:
         self.ekf.add_pose(float(xy[0]), float(xy[1]), yaw,
                           var=lcfg.slam_pose_var, gate=lcfg.slam_pose_gate)
         self._ekf_dirty = True
+        self._ekf_pose_cache = None
 
     # ------------------------------------------------------------------
     # SLAM + mapping
@@ -209,7 +235,7 @@ class ActiveSlamSystem:
             # fuse the SLAM pose into the map-frame filter; when tracking is
             # lost the EKF dead-reckons on odometry alone (graceful
             # degradation — the reference keeps publishing odom-frame TF)
-            self._fuse_slam_pose()
+            self._fuse_slam_pose(info.get("pose_wc"))
         return info
 
     def _on_keyframe(self, slam: StereoSlam, kf_idx: int):

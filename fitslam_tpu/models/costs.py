@@ -116,7 +116,15 @@ def assign_costs(
     not_lethal = jnp.logical_not((cell_occ != UNKNOWN) & (cell_occ >= LETHAL))
     fov_w = max(1, int(round(fov_rad / (2.0 * math.pi / n_rays))))
     info_ceiling = 1.2 * fov_w * n_steps
-    info_floor = factor_of_max_info * info_ceiling
+    # The floor uses the UNINFLATED attainable max (fov_w * n_steps), not
+    # the 1.2x normalization ceiling. The reference's 0.7 * 1.2 * max =
+    # 0.84 * attainable works at its 5 cm costmap resolution, where the
+    # known boundary cells at a frontier are ~2.5% of a 2 m ray; at 0.25 m
+    # cells they are 12-25%, so 84%-unknown is systematically unattainable
+    # and EVERY frontier gets marked unachievable (measured: a healthy map
+    # with 64 frontiers, best window 81% unknown, zero passed). 0.7 x
+    # attainable keeps the reference's intent at any resolution.
+    info_floor = factor_of_max_info * fov_w * n_steps
     achievable = fr.valid & not_lethal & reachable & (info > 0.0)
     if robot_xy is not None:
         # closeness rejection (active_slam_exploration_params.yaml:18): a
@@ -298,3 +306,54 @@ def goal_hysteresis(prev_goal_xy, new_goal_xy, prev_valid, new_valid,
     if d_new < d_prev - switch_threshold_m:
         return new_goal_xy, True
     return prev_goal_xy, True
+
+
+# ---------------------------------------------------------------------------
+# Jitted glue for the exploration tick. Each eager jnp op dispatched from
+# host Python costs ~8 ms through this backend's relay, and an op whose
+# operand SHAPE varies (e.g. a growing blacklist array) recompiles on every
+# new shape (measured 9.9 s spikes). These helpers keep the tick's glue
+# math inside a handful of fixed-shape jitted dispatches.
+# ---------------------------------------------------------------------------
+
+
+@vjit
+def blacklist_mask(goal_xy: jax.Array, circles: jax.Array,
+                   radius) -> jax.Array:
+    """(F, 2) frontier goals vs (B, 2) FIXED-CAPACITY blacklist circles
+    (pad unused rows with 1e9) -> (F,) bool within-radius mask."""
+    d = jnp.linalg.norm(goal_xy[:, None, :] - circles[None, :, :], axis=-1)
+    return jnp.any(d < radius, axis=1)
+
+
+@vjit
+def snap_to_nodes(goal_xy: jax.Array, rm_xy: jax.Array,
+                  rm_valid: jax.Array) -> jax.Array:
+    """Nearest valid roadmap node per frontier goal."""
+    d = jnp.linalg.norm(goal_xy[:, None, :] - rm_xy[None, :, :], axis=-1)
+    d = jnp.where(rm_valid[None, :], d, INF)
+    return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+
+@vjit
+def make_bf_sources(robot_xy: jax.Array, goal_xy: jax.Array,
+                    sel: jax.Array) -> jax.Array:
+    """Row 0 = robot, rows 1.. = selected locals (BF source stack)."""
+    return jnp.concatenate(
+        [robot_xy[None, :].astype(jnp.float32), goal_xy[sel]], axis=0)
+
+
+@vjit
+def global_node(node_idx: jax.Array, g_idx: jax.Array) -> jax.Array:
+    return jnp.where(g_idx >= 0, node_idx[jnp.maximum(g_idx, 0)],
+                     -1).astype(jnp.int32)
+
+
+@vjit
+def finalize_goal(plan_has_goal: jax.Array, plan_goal_idx: jax.Array,
+                  g_idx: jax.Array):
+    """Closest-global fallback (getFilteredFrontiersN), branchless."""
+    has = plan_has_goal | (g_idx >= 0)
+    gi = jnp.where(plan_has_goal, plan_goal_idx,
+                   jnp.maximum(g_idx, 0)).astype(jnp.int32)
+    return has, gi

@@ -42,8 +42,27 @@ from fitslam_tpu.ops import fisher
 from fitslam_tpu.ops import raycast
 from fitslam_tpu.ops.grid import UNKNOWN, GridSpec2D
 from fitslam_tpu.utils.config import FitSlamConfig
+from fitslam_tpu.utils.jit import vjit
 from fitslam_tpu.utils.profiling import EventLogger, MODULE
 from fitslam_tpu.utils import logging as logx
+
+
+@vjit(static_argnames=("spec",))
+def _pack_tick_scalars(spec, occ, fr_valid, fr_goal_xy, best_heading,
+                       has_goal, goal_idx, prev_goal):
+    """Assemble the tick's packed control-flow pull in ONE jitted dispatch
+    (each eager jnp op from host Python costs ~8 ms through the relay)."""
+    gi = jnp.maximum(goal_idx, 0)
+    prev_cell = raycast._sample_occ(spec, occ, prev_goal[None, :])[0]
+    return jnp.stack([
+        fr_valid.sum().astype(jnp.float32),
+        has_goal.astype(jnp.float32),
+        gi.astype(jnp.float32),
+        fr_goal_xy[gi, 0],
+        fr_goal_xy[gi, 1],
+        best_heading[gi],
+        prev_cell.astype(jnp.float32),
+    ])
 
 
 class GoalStatus(Enum):
@@ -243,27 +262,16 @@ class ExplorationServer:
         # -- frontier search with radius growth (SearchForFrontiers) --
         with self.log.scope("frontier_search", MODULE):
             fr = self._search_frontiers(occ, robot_xy)
-        n_frontiers = int(fr.valid.sum())
-        self.diag.frontiers_found = n_frontiers
-        if n_frontiers == 0:
-            if self._search_radius >= self.spec.extent:
-                # nothing left anywhere -> exploration complete
-                self.nav.cancel()
-                self.state = ExplorationState.DONE
-                return self.state
-            self._search_radius = min(
-                self._search_radius * self.cfg.frontier_search.search_radius_growth,
-                self.spec.extent,
-            )
-            return self.state
-        self._search_radius = self.cfg.frontier_search.search_radius_m
 
         # -- costs --
         with self.log.scope("frontier_costs", MODULE):
-            robot_dist, parent, src = rmx.shortest_paths(self.roadmap, jnp.asarray(robot_xy, jnp.float32))
+            robot_dev = jnp.asarray(np.asarray(robot_xy, np.float32))
+            robot_dist, parent, src = rmx.shortest_paths(self.roadmap, robot_dev)
             blacklisted = self._blacklist_mask(fr)
             pot = navx.wavefront_potential(
-                self.spec, occ, jnp.asarray(robot_xy, jnp.float32),
+                self.spec,
+                navx.clear_robot_footprint(self.spec, occ, robot_dev),
+                robot_dev,
                 iters=self.cfg.nav.wavefront_iters,
                 allow_unknown=True,
             )
@@ -278,7 +286,7 @@ class ExplorationServer:
                     jnp.asarray(lm_xy, jnp.float32),
                     jnp.asarray(lm_info, jnp.float32),
                     jnp.asarray(lm_valid),
-                    jnp.asarray(robot_xy, jnp.float32),
+                    robot_dev,
                     fr.goal_xy, fr.valid,
                     num_waypoints=fcfg.path_fi_waypoints,
                     fov_half_angle=fcfg.fov_half_angle,
@@ -298,7 +306,7 @@ class ExplorationServer:
                 grid_pot=pot,
                 path_fi=path_fi,
                 min_path_info=fcfg.min_path_information,
-                robot_xy=jnp.asarray(robot_xy, jnp.float32),
+                robot_xy=robot_dev,
                 closeness_rejection=self.cfg.cost_calculator.closeness_rejection_m,
                 factor_of_max_info=self.cfg.cost_calculator.factor_of_max_info,
                 raycast_depth_m=self.cfg.cost_calculator.raycast_depth_m,
@@ -306,8 +314,48 @@ class ExplorationServer:
 
         # -- full path optimization (TSP) --
         with self.log.scope("optimize_full_path", MODULE):
-            plan = self._optimize_path(costs, fr, blacklisted, robot_xy, occ)
-        if plan is None or not bool(plan.has_goal):
+            has_goal_d, goal_idx_d = self._optimize_path(
+                costs, fr, blacklisted, robot_xy, occ)
+
+        # ONE packed device->host pull for every per-tick control-flow
+        # scalar: each pull pays a full tunnel round trip (~30 ms measured,
+        # BENCH_NOTES.md), so the tick reads back once instead of ~10 times
+        prev_goal = (np.asarray(self._goal_xy, np.float32)
+                     if self._goal_xy is not None else np.zeros(2, np.float32))
+        vals = np.asarray(_pack_tick_scalars(
+            self.spec, occ, fr.valid, fr.goal_xy, costs.best_heading,
+            has_goal_d, goal_idx_d, jnp.asarray(prev_goal)))
+
+        n_frontiers = int(vals[0])
+        self.diag.frontiers_found = n_frontiers
+        if n_frontiers == 0:
+            if self._search_radius >= self.spec.extent:
+                # nothing left anywhere -> exploration complete
+                self.nav.cancel()
+                self.state = ExplorationState.DONE
+                return self.state
+            self._search_radius = min(
+                self._search_radius * self.cfg.frontier_search.search_radius_growth,
+                self.spec.extent,
+            )
+            return self.state
+        self._search_radius = self.cfg.frontier_search.search_radius_m
+        prev_goal_cell_occ = int(vals[6])
+
+        # -- consume a COMPLETED goal before any early return (a finished
+        # goal left in _goal_xy while no new plan exists would starve
+        # dispatch forever). CheckIfGoalMapped complement: the goal was
+        # REACHED but its cell is still unknown — it sits inside the
+        # sensor's blind radius and can never be mapped from its own
+        # location; blacklist it so the tick loop doesn't livelock
+        # re-dispatching it
+        if self.nav.status() == GoalStatus.DONE and self._goal_xy is not None:
+            if prev_goal_cell_occ == UNKNOWN:
+                self.blacklist_xy.append(np.asarray(self._goal_xy))
+                self.diag.blacklisted += 1
+            self._goal_xy = None
+
+        if vals[1] < 0.5:
             # no reachable goal: widen next tick; after repeated failure -> done
             self._search_radius = min(
                 self._search_radius * self.cfg.frontier_search.search_radius_growth,
@@ -315,28 +363,13 @@ class ExplorationServer:
             )
             return self.state
 
-        goal_i = int(plan.goal_idx)
-        new_goal = np.asarray(fr.goal_xy[goal_i])
-        new_heading = float(costs.best_heading[goal_i])
+        new_goal = np.asarray(vals[3:5], np.float64)
+        new_heading = float(vals[5])
 
         # -- Fisher-information safety gate + retry ladder
         #    (EvaluateFisherInformation + OptimizeFullPath, §3.3) --
         if not self._fi_gate(robot_xy, robot_yaw, new_goal):
             return self.state
-
-        # -- goal hysteresis (released once the previous goal is reached) --
-        if self.nav.status() == GoalStatus.DONE and self._goal_xy is not None:
-            # CheckIfGoalMapped complement: the goal was REACHED but its cell
-            # is still unknown — it sits inside the sensor's blind radius and
-            # can never be mapped from its own location; blacklist it so the
-            # tick loop doesn't livelock re-dispatching it
-            cell_occ = int(np.asarray(raycast._sample_occ(
-                self.spec, occ,
-                jnp.asarray(self._goal_xy, jnp.float32)[None, :]))[0])
-            if cell_occ == UNKNOWN:
-                self.blacklist_xy.append(np.asarray(self._goal_xy))
-                self.diag.blacklisted += 1
-            self._goal_xy = None
         goal, _ = cx.goal_hysteresis(
             self._goal_xy, new_goal, self._goal_xy is not None, True, robot_xy,
             self.cfg.goal_hysteresis.switch_threshold_m
@@ -348,7 +381,8 @@ class ExplorationServer:
         self.published_path = self._build_published_path(goal, occ, robot_xy)
         if self.published_path is not None and hasattr(self.nav, "set_path"):
             self.nav.set_path(self.published_path)
-        self._send_or_monitor(goal, new_heading, occ, robot_xy)
+        self._send_or_monitor(goal, new_heading, occ, robot_xy,
+                              goal_cell_occ=prev_goal_cell_occ)
         return self.state
 
     # ------------------------------------------------------------------
@@ -414,15 +448,22 @@ class ExplorationServer:
 
         return lie.SE3.identity((1,)), jnp.int32(1)
 
+    BLACKLIST_CAP = 64
+
     def _blacklist_mask(self, fr: fx.Frontiers) -> jax.Array:
+        """Fixed-capacity circle buffer: a growing array shape would
+        recompile the mask kernel on every new blacklist entry (measured
+        9.9 s spikes); unused rows sit at 1e9 and never match."""
         circles = list(self.blacklist_xy)
         if self.peer_goals is not None:
             circles += [np.asarray(g) for g in self.peer_goals() if g is not None]
-        if not circles:
-            return jnp.zeros(fr.valid.shape, bool)
-        bl = jnp.asarray(np.stack(circles), jnp.float32)  # (B, 2)
-        d = jnp.linalg.norm(fr.goal_xy[:, None, :] - bl[None, :, :], axis=-1)
-        return jnp.any(d < self.cfg.path_optimizer.blacklist_radius_m, axis=1)
+        buf = np.full((self.BLACKLIST_CAP, 2), 1e9, np.float32)
+        n = min(len(circles), self.BLACKLIST_CAP)
+        if n:
+            buf[:n] = np.stack(circles)[-n:]
+        return cx.blacklist_mask(
+            fr.goal_xy, jnp.asarray(buf),
+            jnp.float32(self.cfg.path_optimizer.blacklist_radius_m))
 
     def _optimize_path(self, costs, fr, blacklisted, robot_xy, occ):
         # frontier nodes join the roadmap AND get edges before the TSP prices
@@ -435,37 +476,27 @@ class ExplorationServer:
             self.roadmap, self.spec, occ,
             rcfg.max_edge_length, rcfg.max_unknown_fraction,
         )
-        d_nodes = jnp.linalg.norm(
-            fr.goal_xy[:, None, :] - self.roadmap.xy[None, :, :], axis=-1
-        )
-        d_nodes = jnp.where(self.roadmap.valid[None, :], d_nodes, rmx.INF)
-        costs = costs._replace(node_idx=jnp.argmin(d_nodes, axis=1).astype(jnp.int32))
+        costs = costs._replace(node_idx=cx.snap_to_nodes(
+            fr.goal_xy, self.roadmap.xy, self.roadmap.valid))
         sel, sel_valid, g_idx = cx.select_locals(
             costs, fr, blacklisted, self.cfg.path_optimizer.local_path_threshold_m
         )
-        if int(sel_valid.sum()) == 0 and int(g_idx) < 0:
-            return None
         # all BF rows (robot + every selected local) in ONE batched dispatch:
         # pairwise row 0 = robot, rows 1.. = locals in selection order
-        srcs = jnp.concatenate(
-            [jnp.asarray(robot_xy, jnp.float32)[None, :], fr.goal_xy[sel]], axis=0
-        )
+        srcs = cx.make_bf_sources(jnp.asarray(robot_xy, jnp.float32),
+                                  fr.goal_xy, sel)
         dists, parents, src_nodes = rmx.shortest_paths_multi(self.roadmap, srcs)
         self._bf_parent = parents[0]
         self._bf_src = src_nodes[0]
         pairwise = dists
-        g_node = jnp.where(g_idx >= 0, costs.node_idx[jnp.maximum(g_idx, 0)], -1)
+        g_node = cx.global_node(costs.node_idx, g_idx)
         plan = cx.optimize_full_path(
             costs, fr, blacklisted, pairwise, sel, sel_valid, g_node
         )
-        if not bool(plan.has_goal) and int(g_idx) >= 0:
-            # closest-global fallback (reference getFilteredFrontiersN)
-            import jax.numpy as _jnp
-
-            plan = plan._replace(
-                goal_idx=jnp.int32(int(g_idx)), has_goal=jnp.bool_(True)
-            )
-        return plan
+        # closest-global fallback (reference getFilteredFrontiersN) applied
+        # branchlessly ON DEVICE — the tick's control-flow scalars come back
+        # to the host in one packed pull (each pull is a full tunnel RTT)
+        return cx.finalize_goal(plan.has_goal, plan.goal_idx, g_idx)
 
     def _build_published_path(self, goal_xy, occ, robot_xy) -> Optional[np.ndarray]:
         """The exploration-published plan (refineAndPublishPath,
@@ -475,11 +506,22 @@ class ExplorationServer:
         replays this instead of planning its own path."""
         if self._bf_parent is None:
             return None
-        goal_node = int(rmx.nearest_node(
-            self.roadmap, jnp.asarray(goal_xy, jnp.float32)))
-        nodes = rmx.extract_path(
-            self.roadmap, self._bf_parent, int(self._bf_src), goal_node)
-        xy = np.asarray(self.roadmap.xy)
+        # parent row + BF source + goal node + node coordinates in ONE
+        # device->host pull (a pull costs a full tunnel RTT, BENCH_NOTES.md)
+        goal_node_d = rmx.nearest_node(
+            self.roadmap, jnp.asarray(goal_xy, jnp.float32))
+        N = self.roadmap.xy.shape[0]
+        pk = np.asarray(jnp.concatenate([
+            jnp.asarray(self._bf_parent, jnp.float32).reshape(-1),
+            jnp.reshape(jnp.asarray(self._bf_src, jnp.float32), (1,)),
+            jnp.reshape(goal_node_d.astype(jnp.float32), (1,)),
+            self.roadmap.xy.reshape(-1),
+        ]))
+        parent_h = pk[:N].astype(np.int64)
+        src_h = int(pk[N])
+        goal_node = int(pk[N + 1])
+        xy = pk[N + 2:].reshape(N, 2)
+        nodes = rmx.extract_path(self.roadmap, parent_h, src_h, goal_node)
         pts = [np.asarray(robot_xy, np.float64)]
         pts += [xy[i] for i in nodes]
         pts.append(np.asarray(goal_xy, np.float64))
@@ -617,7 +659,8 @@ class ExplorationServer:
     # Goal dispatch (SendNav2Goal / CheckIfGoalMapped / timeout)
     # ------------------------------------------------------------------
 
-    def _send_or_monitor(self, goal, heading, occ, robot_xy):
+    def _send_or_monitor(self, goal, heading, occ, robot_xy,
+                         goal_cell_occ=None):
         bt = self.cfg.exploration_bt
         status = self.nav.status()
         same_goal = (
@@ -625,9 +668,17 @@ class ExplorationServer:
             and float(np.linalg.norm(goal - self._goal_xy)) < 0.3
         )
         if status == GoalStatus.ACTIVE and same_goal:
-            # CheckIfGoalMapped: replan once the goal cell becomes known
-            cell_occ = int(np.asarray(raycast._sample_occ(
-                self.spec, occ, jnp.asarray(goal, jnp.float32)[None, :]))[0])
+            # CheckIfGoalMapped: replan once the goal cell becomes known.
+            # `goal_cell_occ` (from the tick's packed pull, sampled at
+            # self._goal_xy) is reused when the monitored goal IS that goal;
+            # the extra pull happens only on the rare near-but-not-equal case
+            if goal_cell_occ is not None and np.array_equal(
+                    np.asarray(goal, np.float64),
+                    np.asarray(self._goal_xy, np.float64)):
+                cell_occ = goal_cell_occ
+            else:
+                cell_occ = int(np.asarray(raycast._sample_occ(
+                    self.spec, occ, jnp.asarray(goal, jnp.float32)[None, :]))[0])
             if cell_occ != UNKNOWN:
                 self.diag.replans += 1
                 self.nav.cancel()

@@ -199,9 +199,31 @@ def mark_lethal_wedge(
     return overlay | inside
 
 
+@vjit
 def apply_overlay(occ: jax.Array, overlay: jax.Array) -> jax.Array:
     """Overlay lethal zones onto an occupancy grid (cost 253-equivalent)."""
     return jnp.where(overlay, jnp.uint8(LETHAL), occ)
+
+
+@vjit(static_argnames=("spec",))
+def clear_robot_footprint(spec: GridSpec2D, occ: jax.Array,
+                          robot_xy: jax.Array,
+                          radius_m: float = 0.3) -> jax.Array:
+    """Nav2 footprint semantics: the robot's own footprint is never lethal.
+
+    The traversability layer inflates lethal cells by security_distance, so
+    a robot standing (legitimately) inside that skirt — e.g. 0.5 m from a
+    wall — would otherwise sit on a lethal cell and no plan could ever
+    start or pass through its own position. Costmaps in the reference stack
+    clear the footprint for exactly this reason."""
+    G = spec.size
+    cell, _ = spec.world_to_cell(robot_xy)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    r_cells = radius_m / spec.resolution
+    d2 = ((rows - cell[1]) ** 2 + (cols - cell[0]) ** 2).astype(jnp.float32)
+    disc = d2 <= r_cells * r_cells
+    return jnp.where(disc, jnp.uint8(0), occ)
 
 
 # ---------------------------------------------------------------------------
@@ -287,3 +309,42 @@ class Costmap:
                 raise ValueError("rolling costmap needs robot_xy")
             return g.rolling_window(spec, occ, robot_xy, self.cfg.size_m)
         return occ, spec
+
+    def grid_full_np(self):
+        """Host-side (numpy) mirror of the FULL composed grid (no rolling
+        crop), cached against the same source identity as `grid`. Point
+        probes (the controller's collision gate) read this instead of
+        pulling one cell per control step — each device->host pull costs a
+        full tunnel RTT (~30 ms, BENCH_NOTES.md), while this mirror costs
+        one pull per map UPDATE."""
+        import numpy as _np
+
+        self._ensure_cache()
+        occ, spec = self._cache_val
+        if getattr(self, "_np_for", None) is not self._cache_key:
+            self._np_val = _np.asarray(occ)
+            self._np_for = self._cache_key
+        return self._np_val, spec
+
+    def _ensure_cache(self):
+        """Populate the compose cache without a rolling crop."""
+        src = self.get_static()
+        overlay = None if self.get_overlay is None else self.get_overlay()
+        key = (src, overlay)
+        if (self._cache_key is None or key[0] is not self._cache_key[0]
+                or key[1] is not self._cache_key[1]):
+            occ = self._compose(src)
+            spec = self.spec
+            g = self._ops
+            if self.cfg.resample > 1:
+                occ = g.upsample_grid(occ, self.cfg.resample)
+                spec = GridSpec2D(spec.size * self.cfg.resample,
+                                  spec.resolution / self.cfg.resample,
+                                  spec.origin_x, spec.origin_y)
+            elif self.cfg.resample < -1:
+                k = -self.cfg.resample
+                occ = g.downsample_grid_max(occ, k)
+                spec = GridSpec2D(spec.size // k, spec.resolution * k,
+                                  spec.origin_x, spec.origin_y)
+            self._cache_key = key
+            self._cache_val = (occ, spec)

@@ -100,15 +100,18 @@ class SimNavInterface(NavInterface):
             self.on_cmd(*self.robot.last_twist)
 
     def _local_blocked(self) -> bool:
-        """Collision check a short segment ahead against the rolling local
-        costmap (the controller-side costmap of N4)."""
-        occ_l, spec_l = self.local_costmap.grid(self.robot.xy)
+        """Collision check a short segment ahead against the local costmap
+        (the controller-side costmap of N4). Probes the costmap's cached
+        numpy mirror: one device pull per map UPDATE instead of one ~30 ms
+        tunnel round trip per control step (BENCH_NOTES.md)."""
+        occ_l, spec_l = self.local_costmap.grid_full_np()
         probe = self.robot.xy + 0.4 * np.array(
             [math.cos(self.robot.yaw), math.sin(self.robot.yaw)])
-        cell, ok = spec_l.world_to_cell(jnp.asarray(probe, jnp.float32))
-        if not bool(ok):
+        cx = int(math.floor((probe[0] - spec_l.origin_x) / spec_l.resolution))
+        cy = int(math.floor((probe[1] - spec_l.origin_y) / spec_l.resolution))
+        if not (0 <= cx < spec_l.size and 0 <= cy < spec_l.size):
             return False
-        c = int(np.asarray(occ_l[cell[1], cell[0]]))
+        c = int(occ_l[cy, cx])
         return c >= navx.LETHAL and c != navx.UNKNOWN
 
     # -- control loop (called at controller rate by the simulation) --
@@ -122,15 +125,21 @@ class SimNavInterface(NavInterface):
             # roadmap-planner mode: follow the published exploration plan
             self._path = np.asarray(self._ext_path)
         elif self._path is None or self._replan_countdown <= 0:
+            occ_plan = navx.clear_robot_footprint(
+                plan_spec, occ, jnp.asarray(self.robot.xy, jnp.float32))
             pot = navx.wavefront_potential(
-                plan_spec, occ, jnp.asarray(self._goal, jnp.float32),
+                plan_spec, occ_plan, jnp.asarray(self._goal, jnp.float32),
                 iters=self.cfg.nav.wavefront_iters,
                 allow_unknown=self.cfg.nav.allow_unknown,
             )
             path, ok = navx.descend_potential(
                 plan_spec, pot, jnp.asarray(self.robot.xy, jnp.float32)
             )
-            pts = np.asarray(path)[np.asarray(ok)]
+            # one packed pull for path + mask (each pull is a tunnel RTT)
+            pk = np.asarray(jnp.concatenate(
+                [path.reshape(-1), ok.astype(jnp.float32)]))
+            n = path.shape[0]
+            pts = pk[:2 * n].reshape(n, 2)[pk[2 * n:] > 0.5]
             if len(pts) == 0:
                 # maybe we're already basically there
                 if np.linalg.norm(self.robot.xy - self._goal) < self.cfg.nav.planner_tolerance_m:

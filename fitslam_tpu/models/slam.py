@@ -90,11 +90,14 @@ class StereoSlam:
         return self.process_prepared(frame)
 
     def process_frame_async(self, img_left, img_right):
-        """Zero-readback frame step: no device->host transfer happens (the
-        first D2H permanently degrades every later dispatch ~300x on this
-        backend). Per-frame outputs stay on device in `self.outs_log`;
-        call `finalize()` after the run to materialize trajectory/stats.
-        Loop closing is skipped in this mode (it needs host decisions)."""
+        """Zero-readback frame step: no device->host transfer happens, so
+        host dispatch pipelines ahead of device compute instead of
+        serializing on per-frame scalars. Per-frame outputs stay on device
+        in `self.outs_log`; call `finalize()` after the run to materialize
+        trajectory/stats. Timing this path requires a TRUE barrier
+        (utils.profiling.device_sync) — block_until_ready returns at
+        dispatch-accept on this backend (BENCH_NOTES.md). Loop closing is
+        skipped in this mode (it needs host decisions)."""
         from fitslam_tpu.models.slam_step import slam_backend_step
 
         cfg = self.cfg
@@ -176,8 +179,23 @@ class StereoSlam:
                 recycle_at_fraction=cfg.mapping.recycle_at_fraction,
                 recycle_target_fraction=cfg.mapping.recycle_target_fraction,
             )
-            n_inl = int(outs.n_inliers)
-            was_kf = bool(outs.was_keyframe)
+            # ONE packed pull for the frame's control-flow scalars AND the
+            # pose matrix (each device->host pull costs a full tunnel RTT,
+            # BENCH_NOTES.md)
+            _v = np.asarray(jnp.concatenate([
+                jnp.stack([
+                    outs.n_inliers.astype(jnp.float32),
+                    outs.was_keyframe.astype(jnp.float32),
+                    outs.kf_idx.astype(jnp.float32),
+                    self.state.lost_frames.astype(jnp.float32),
+                ]),
+                outs.pose_wc.reshape(-1),
+            ]))
+            n_inl = int(_v[0])
+            was_kf = bool(_v[1] > 0.5)
+            kf_idx_h = int(_v[2])
+            lost_frames_h = int(_v[3])
+            pose_wc_np = _v[4:20].reshape(4, 4).astype(np.float64)
         # (landmark slot recycling happens ON DEVICE inside the backend step
         # now - see slam_step: the async path never ran the old host-side
         # version, starving tracking once the landmark array filled)
@@ -187,18 +205,19 @@ class StereoSlam:
             "keyframe": was_kf,
             "n_inliers": n_inl,
             "lost": self._initialized and n_inl < cfg.tracking.min_inliers,
+            "pose_wc": pose_wc_np,
         }
         self.last_frame = frame
         if (
             info["lost"]
             and cfg.tracking.reloc_enabled
-            and int(self.state.lost_frames) >= cfg.tracking.reloc_after_lost
+            and lost_frames_h >= cfg.tracking.reloc_after_lost
         ):
             if self._try_relocalize(frame):
                 info["relocalized"] = True
         if was_kf:
             self._initialized = True
-            kf_idx = int(outs.kf_idx)
+            kf_idx = kf_idx_h
             for cb in self.keyframe_events:
                 cb(self, kf_idx)
             if self.loop_closer is not None:
@@ -207,7 +226,7 @@ class StereoSlam:
                 if loop_info:
                     info["loop"] = loop_info
                     self.loop_events.append(loop_info)
-        self.trajectory.append(np.asarray(outs.pose_wc))
+        self.trajectory.append(pose_wc_np)
         # reference-keyframe anchor for retroactive trajectory correction
         # (ORB-SLAM3 rewrites past poses through their reference KF after
         # loop closure / GBA; corrected_trajectory() does the same here)

@@ -11,8 +11,9 @@ the sibling constraint):
   a systematically bad regime (50-100 ms binaries vs 0.1 ms for the split
   modules, reproducible across recompiles), so `process_stereo` stays its
   own executable; its ~1 MB frame output imports cheaply.
-- No jitted function may capture a concrete device array (constants embedded
-  that way degrade every subsequent dispatch in the process ~300x).
+- No jitted function may capture a concrete device array: closure-captured
+  device buffers measured ~0.4 ms of overhead per executed iteration
+  (trace-time numpy constants are fine — see ops/orb.py, utils/jit.py).
 
 The reference's analog of this split is its tracking vs local-mapping
 threads over shared memory (SURVEY.md §2.5).

@@ -168,13 +168,21 @@ def stats_to_grid(
     z_max = jnp.where(known, z_mx.reshape(G, G), 0.0)
     z_min = jnp.where(known, z_mn.reshape(G, G), 0.0)
 
-    # slope: central differences on a count-weighted 3x3-smoothed elevation.
-    # Raw per-cell means carry the z-disagreement of the different keyframes
-    # whose clouds hit neighboring cells (a few cm of pose error between
-    # adjacent cells reads as slope ~0.2 at 0.25 m resolution — enough to
-    # cross the lethal threshold on flat ground); pooling the raw sums over
-    # the 3x3 neighborhood before differencing averages that jag out while a
-    # real ridge (slope >= max_slope over several cells) keeps its gradient.
+    # slope: central differences on a 3x3-min-pooled GROUND surface (z_min).
+    # Two failure modes shape this choice:
+    # - Raw per-cell z carries the z-disagreement of the different keyframes
+    #   whose clouds hit neighboring cells (cm-level pose error reads as
+    #   slope at 0.25 m resolution), so the surface must be pooled before
+    #   differencing.
+    # - Pooling the MEAN elevation smears vertical structure (walls) onto
+    #   adjacent floor cells: a flat cell one cell away from a 2 m wall
+    #   inherits the wall's mean height through the 3x3 pool and scores
+    #   slope 1.3-2.1 >> max_slope — a phantom lethal skirt around every
+    #   wall that seals doorways (measured: 382 of 393 false lethals in the
+    #   rooms world were this). The min-pooled z_min is the ground surface:
+    #   wall cells' z_min is also floor level, so the skirt vanishes, while
+    #   walls stay lethal via the step (z_max - z_min) test and real ridges
+    #   (monotone ground slope over several cells) keep their gradient.
     # Shifts must NOT wrap (jnp.roll would difference the map's opposite
     # edges, painting phantom lethal slope along every border on terrain
     # whose elevation differs across the map).
@@ -182,12 +190,11 @@ def stats_to_grid(
         fill = jnp.zeros((), a.dtype) if a.dtype != jnp.bool_ else False
         return _shifted(a, dy, dx, fill)
 
-    def pool3(a):
-        return jax.lax.reduce_window(a, 0.0, jax.lax.add, (3, 3), (1, 1), "SAME")
-
-    s_z_pool = pool3(s_z.reshape(G, G))
-    cnt_pool = pool3(cnt)
-    z_smooth = jnp.where(cnt_pool > 0, s_z_pool / jnp.maximum(cnt_pool, 1.0), 0.0)
+    cnt_pool = jax.lax.reduce_window(cnt, 0.0, jax.lax.add, (3, 3), (1, 1), "SAME")
+    z_for_min = jnp.where(known, z_min, jnp.inf)
+    z_ground = -jax.lax.reduce_window(-z_for_min, -jnp.inf, jax.lax.max,
+                                      (3, 3), (1, 1), "SAME")
+    z_smooth = jnp.where(cnt_pool > 0, z_ground, 0.0)
     known_s = cnt_pool > 0
 
     inv_2res = 1.0 / (2.0 * spec.resolution)
