@@ -283,3 +283,47 @@ def test_resample_grids():
     assert down[1, 1] == gr.LETHAL       # lethal wins in its block
     assert down[2, 2] == gr.UNKNOWN      # all-unknown block stays unknown
     assert down[0, 0] == 0               # free block stays free
+
+
+def test_wall_does_not_poison_adjacent_floor_slope():
+    """Regression: slope computed on mean-pooled elevation smeared a 2 m
+    wall's height onto neighboring FLAT floor cells (slope 1.3-2.1 >> the
+    0.7 lethal threshold), painting a phantom lethal skirt around every
+    wall that sealed doorways. The ground surface (min-pooled z_min) must
+    classify flat floor next to a wall as non-lethal-by-slope; the wall
+    itself stays lethal via the step test, and only the intended
+    security-distance inflation may mark the skirt."""
+    key = jax.random.PRNGKey(7)
+    n = 4096
+    # flat floor covering [-6, 6]^2 ...
+    floor = _flat_ground_cloud(key, n=n, extent=6.0, z=0.0, noise=0.01)
+    # ... plus a dense vertical wall along x = 0 (z up to 2 m)
+    wy = jax.random.uniform(jax.random.fold_in(key, 2), (1024,),
+                            minval=-6.0, maxval=6.0)
+    wz = jax.random.uniform(jax.random.fold_in(key, 3), (1024,),
+                            minval=0.0, maxval=2.0)
+    wall = jnp.stack([jnp.zeros((1024,)), wy, wz], axis=-1)
+    buf = gr.empty_cloud_buffer(4, n)
+    buf = gr.add_cloud(buf, floor, jnp.ones((n,), bool), jnp.int32(0))
+    wall_pad = jnp.concatenate(
+        [wall, jnp.zeros((n - 1024, 3))], axis=0)
+    wall_valid = jnp.arange(n) < 1024
+    buf = gr.add_cloud(buf, wall_pad, wall_valid, jnp.int32(1))
+    g = gr.fuse_clouds(SPEC, buf, _identity_pose_cam_down(),
+                       security_distance=0.0)  # isolate classification
+    cost = np.asarray(g.cost)
+    slope = np.asarray(g.slope)
+    known = np.asarray(g.count) > 0
+
+    # the wall column itself must be lethal
+    wall_col = int((0.0 - SPEC.origin_x) / SPEC.resolution)
+    wall_rows = known[:, wall_col]
+    assert (cost[:, wall_col][wall_rows] >= gr.LETHAL).mean() > 0.8
+
+    # floor cells 2+ cells away from the wall: no slope-lethal allowed
+    floor_mask = known.copy()
+    floor_mask[:, max(0, wall_col - 2):wall_col + 3] = False
+    assert floor_mask.sum() > 300
+    assert (slope[floor_mask] > 0.7).sum() == 0
+    lethal_floor = (cost[floor_mask] >= gr.LETHAL) & (cost[floor_mask] != gr.UNKNOWN)
+    assert lethal_floor.mean() < 0.02
