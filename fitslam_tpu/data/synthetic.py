@@ -400,8 +400,17 @@ def frustum_cloud(
     v = K.fy * p_c[..., 1] / zs + K.cy
     vis = z_ok & (z < max_depth) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
     score = jnp.where(vis, -z, -jnp.inf)
-    _, idx = jax.lax.top_k(score, max_points)
-    return p_c[idx], vis[idx]
+    # worlds may carry fewer points than the cloud capacity: select what
+    # exists and pad the rest as invalid
+    k = min(max_points, score.shape[0])
+    _, idx = jax.lax.top_k(score, k)
+    pts = p_c[idx]
+    mask = vis[idx]
+    if k < max_points:
+        pad = max_points - k
+        pts = jnp.concatenate([pts, jnp.zeros((pad, 3), pts.dtype)], axis=0)
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), bool)], axis=0)
+    return pts, mask
 
 
 # Capture-free jitted renderer: every tensor (landmarks, intrinsics fields,

@@ -38,9 +38,27 @@ class LoopCandidate(NamedTuple):
 @vjit
 def detect_loop(m: sm.SlamMap, signature: jax.Array, current_kf: jax.Array,
                 min_gap: int = 20) -> LoopCandidate:
-    """Best loop candidate by signature similarity with temporal gap."""
-    scores = m.kf_signature @ signature
-    ok = m.kf_valid & (jnp.arange(m.kf_valid.shape[0]) < current_kf - min_gap)
+    """Best loop candidate by signature similarity with temporal gap.
+
+    Signatures are centered on the MAP's mean signature before the cosine —
+    the dense-BoW analog of DBoW2's inverse-document-frequency weighting.
+    Per-signature centering (done at build time) removes the uniform
+    component, but every frame of one environment also shares that world's
+    texture prior: on a texture-homogeneous world, raw cosines measured
+    0.966-0.974 for UNRELATED pairs vs 0.974-1.0 for true revisits — a
+    margin that drowns once the map holds enough keyframes (the 200-frame
+    ring bench closed 0 loops). Subtracting the map mean scores each pair
+    by what distinguishes them from this world's average view."""
+    K_cap = m.kf_valid.shape[0]
+    valid_f = m.kf_valid.astype(jnp.float32)[:, None]
+    mean_sig = (jnp.sum(m.kf_signature * valid_f, axis=0)
+                / jnp.maximum(jnp.sum(valid_f), 1.0))
+    kf_c = m.kf_signature - mean_sig[None, :]
+    kf_c = kf_c / jnp.maximum(jnp.linalg.norm(kf_c, axis=1, keepdims=True), 1e-6)
+    sig_c = signature - mean_sig
+    sig_c = sig_c / jnp.maximum(jnp.linalg.norm(sig_c), 1e-6)
+    scores = kf_c @ sig_c
+    ok = m.kf_valid & (jnp.arange(K_cap) < current_kf - min_gap)
     scores = jnp.where(ok, scores, -jnp.inf)
     best = jnp.argmax(scores)
     return LoopCandidate(best.astype(jnp.int32), scores[best])
