@@ -453,10 +453,30 @@ class ExplorationServer:
     def _blacklist_mask(self, fr: fx.Frontiers) -> jax.Array:
         """Fixed-capacity circle buffer: a growing array shape would
         recompile the mask kernel on every new blacklist entry (measured
-        9.9 s spikes); unused rows sit at 1e9 and never match."""
-        circles = list(self.blacklist_xy)
+        9.9 s spikes); unused rows sit at 1e9 and never match.
+
+        Durability: the reference's blacklist grows unboundedly
+        (FullPathOptimizer.cpp:25-83). When our device buffer would
+        overflow, the OLDEST circles are evicted into the persistent
+        `lethal_overlay` (rasterized as world-frame discs) before being
+        dropped, so a blacklisted goal stays excluded for the whole
+        mission — first through the circle mask, then through lethal
+        terrain that can never become a frontier again."""
+        peers = []
         if self.peer_goals is not None:
-            circles += [np.asarray(g) for g in self.peer_goals() if g is not None]
+            peers = [np.asarray(g) for g in self.peer_goals() if g is not None]
+        budget = max(self.BLACKLIST_CAP - len(peers), self.BLACKLIST_CAP // 2)
+        if len(self.blacklist_xy) > budget:
+            evicted = self.blacklist_xy[: len(self.blacklist_xy) - budget]
+            self.blacklist_xy = self.blacklist_xy[len(evicted):]
+            for i0 in range(0, len(evicted), self.BLACKLIST_CAP):
+                chunk = evicted[i0:i0 + self.BLACKLIST_CAP]
+                ebuf = np.full((self.BLACKLIST_CAP, 2), 1e9, np.float32)
+                ebuf[: len(chunk)] = np.stack(chunk)
+                self.lethal_overlay = navx.mark_lethal_discs(
+                    self.spec, self.lethal_overlay, jnp.asarray(ebuf),
+                    jnp.float32(self.cfg.path_optimizer.blacklist_radius_m))
+        circles = list(self.blacklist_xy) + peers
         buf = np.full((self.BLACKLIST_CAP, 2), 1e9, np.float32)
         n = min(len(circles), self.BLACKLIST_CAP)
         if n:

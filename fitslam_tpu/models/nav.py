@@ -199,6 +199,34 @@ def mark_lethal_wedge(
     return overlay | inside
 
 
+@vjit(static_argnames=("spec",))
+def mark_lethal_discs(
+    spec: GridSpec2D,
+    overlay: jax.Array,        # (G, G) bool persistent lethal overlay
+    centers_xy: jax.Array,     # (K, 2) world circle centers; 1e9 = padding
+    radius_m,                  # () float
+) -> jax.Array:
+    """OR a batch of world-frame discs into the persistent lethal overlay.
+
+    Used when blacklist circles are evicted from the fixed-capacity device
+    buffer: the reference's blacklist grows unboundedly
+    (FullPathOptimizer.cpp:25-83), so an evicted circle must not silently
+    come back — it is rasterized here and excluded forever via the lethal
+    overlay instead. Fixed (K, 2) shape so eviction never recompiles;
+    padding rows at 1e9 never match any cell."""
+    G = spec.size
+    yy = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    wx = (xx.astype(jnp.float32) + 0.5) * spec.resolution + spec.origin_x
+    wy = (yy.astype(jnp.float32) + 0.5) * spec.resolution + spec.origin_y
+    d2 = (
+        (wx[None] - centers_xy[:, 0, None, None]) ** 2
+        + (wy[None] - centers_xy[:, 1, None, None]) ** 2
+    )
+    inside = jnp.any(d2 <= radius_m * radius_m, axis=0)
+    return overlay | inside
+
+
 @vjit
 def apply_overlay(occ: jax.Array, overlay: jax.Array) -> jax.Array:
     """Overlay lethal zones onto an occupancy grid (cost 253-equivalent)."""
