@@ -15,6 +15,12 @@ exercises every kernel family under SPMD:
   scatter-assembled locally and the dense (K, K, 6, 6) Hessian is psum'd once
   per GN iteration; the small solve is replicated (reference: loop-closing
   essential-graph optimization, S1/§3.4).
+- cross-chip stage pipeline: the frontend (ORB extract + stereo match) placed
+  on device 0 and the map backend (association/pose solve/keyframe/local BA)
+  on device 1 of a 2-device `stage` mesh axis, software-pipelined over the
+  frame stream inside ONE jitted scan with a ppermute handoff — the TPU
+  analog of the reference's process-level SLAM ∥ exploration pipeline
+  (root_dir/launch_active_slam.sh:22-27, SURVEY.md §2.5 row 1).
 """
 
 from __future__ import annotations
@@ -196,3 +202,141 @@ def distributed_pose_graph(
         return T_fin, chis
 
     return run((T_cw, kf_valid, fixed), edges)
+
+
+# ---------------------------------------------------------------------------
+# Cross-chip frontend | backend stage pipeline (SURVEY.md §2.5 row 1)
+# ---------------------------------------------------------------------------
+
+
+def stage_pipelined_slam(
+    mesh: Mesh,
+    K,                       # Intrinsics (replicated)
+    m,                       # SlamMap initial state (lives on the backend chip)
+    state,                   # TrackState initial
+    frames_lr: jax.Array,    # (T, 2, H, W) stereo image stream
+    *,
+    num_features: int,
+    num_levels: int,
+    scale_factor: float,
+    fast_threshold: float,
+    backend_kwargs: dict,
+    axis: str = "stage",
+):
+    """Two-stage cross-chip SLAM pipeline in one jitted program.
+
+    Device 0 (stage 0) runs the image frontend on frame t while device 1
+    (stage 1) runs the fused map backend on frame t-1's features — the
+    extracted StereoFrame crosses the ICI once per step via `ppermute`.
+    In steady state the per-step wall time is max(frontend, backend)
+    instead of their sum; the map never leaves device 1 and the images
+    never reach it.
+
+    Mechanics: every per-device value (map, tracker state, in-flight
+    features) is passed with a leading stage axis of 2 sharded by
+    `P(axis)`, so each chip owns exactly its stage's copy; device 0's map
+    copy is dead weight that XLA never touches (its backend branch is a
+    no-op `lax.cond` arm). Runs T+1 steps: step 0 is the fill bubble
+    (backend idle), step T the drain (frontend idle on a zero frame).
+
+    Returns (final map, final tracker state, per-frame StepOutputs for
+    frames 0..T-1) — all as seen by the backend stage.
+
+    Reference capability: the tmux process pipeline SLAM ∥ traversability
+    ∥ exploration (launch_active_slam.sh:22-27); here the two hot SLAM
+    stages get true chip-level parallelism instead of OS scheduling.
+    """
+    from fitslam_tpu.models import slam_step as step_mod
+    from fitslam_tpu.models import tracking as tr_mod
+    from fitslam_tpu.ops import orb
+
+    assert mesh.shape[axis] == 2, f"stage pipeline needs a 2-wide '{axis}' axis"
+    T = frames_lr.shape[0]
+    bk = dict(backend_kwargs)
+
+    zero_frame = tr_mod.StereoFrame(
+        feats=orb.FrameFeatures(
+            xy=jnp.zeros((num_features, 2)),
+            response=jnp.zeros((num_features,)),
+            angle=jnp.zeros((num_features,)),
+            level=jnp.zeros((num_features,), jnp.int32),
+            desc=jnp.zeros((num_features, 256), jnp.bfloat16),
+            valid=jnp.zeros((num_features,), bool),
+        ),
+        depth=jnp.zeros((num_features,)),
+    )
+
+    # one drain step: the last frame's features still need their backend turn
+    frames_pad = jnp.concatenate([frames_lr, jnp.zeros_like(frames_lr[:1])], 0)
+    flags = jnp.arange(T + 1) >= 1                  # backend-valid steps
+    fids = jnp.maximum(jnp.arange(T + 1) - 1, 0)    # frame id seen by backend
+
+    # pin every input to THIS mesh: callers may hand us arrays living on a
+    # wider mesh (e.g. replicated over 8 devices) and a shard_map over the
+    # 2-device stage mesh cannot consume those placements directly
+    from jax.sharding import NamedSharding
+
+    stage_shard = NamedSharding(mesh, P(axis))
+    rep_shard = NamedSharding(mesh, P())
+    stack2 = lambda tree: jax.tree.map(
+        lambda a: jax.device_put(jnp.stack([a, a]), stage_shard), tree)
+    m_stk, st_stk, feat_stk = stack2((m, state, zero_frame))
+    K = jax.tree.map(lambda a: jax.device_put(jnp.asarray(a), rep_shard), K)
+    frames_pad = jax.device_put(frames_pad, rep_shard)
+    flags = jax.device_put(flags, rep_shard)
+    fids = jax.device_put(fids, rep_shard)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    def run(K_rep, m_s, st_s, feat_s, frames_all, flags_all, fids_all):
+        local = lambda tree: jax.tree.map(lambda a: a[0], tree)
+        m0, st0, f0 = local(m_s), local(st_s), local(feat_s)
+        idx = jax.lax.axis_index(axis)
+
+        def step(carry, xs):
+            m_c, st_c, feat_prev = carry
+            lr, flag, fid = xs
+
+            feat_new = jax.lax.cond(
+                idx == 0,
+                lambda: tr_mod.process_stereo(
+                    K_rep, lr[0], lr[1],
+                    num_features=num_features, num_levels=num_levels,
+                    scale_factor=scale_factor, fast_threshold=fast_threshold,
+                ),
+                lambda: jax.tree.map(jnp.zeros_like, feat_prev),
+            )
+            # the ICI handoff: stage 0's fresh features -> stage 1's next turn
+            feat_next = jax.lax.ppermute(feat_new, axis, [(0, 1)])
+
+            def do_backend(args):
+                m_c, st_c = args
+                return step_mod._backend_body(K_rep, m_c, st_c, feat_prev,
+                                              fid, **bk)
+
+            def skip(args):
+                m_c, st_c = args
+                return m_c, st_c, step_mod.StepOutputs(
+                    n_inliers=jnp.int32(0), was_keyframe=jnp.bool_(False),
+                    kf_idx=jnp.int32(-1), pose_wc=jnp.eye(4))
+
+            m2, st2, outs = jax.lax.cond(
+                (idx == 1) & flag, do_backend, skip, (m_c, st_c))
+            return (m2, st2, feat_next), outs
+
+        (m_f, st_f, _), outs_all = jax.lax.scan(
+            step, (m0, st0, f0), (frames_all, flags_all, fids_all))
+        expand = lambda tree: jax.tree.map(lambda a: a[None], tree)
+        return expand(m_f), expand(st_f), expand(outs_all)
+
+    m2_stk, st2_stk, outs_stk = run(
+        K, m_stk, st_stk, feat_stk, frames_pad, flags, fids)
+    backend_side = lambda tree: jax.tree.map(lambda a: a[1], tree)
+    m_out, st_out, outs = backend_side((m2_stk, st2_stk, outs_stk))
+    # step 0 is the fill bubble; frame t's outputs sit at step t+1
+    outs = jax.tree.map(lambda a: a[1:], outs)
+    return m_out, st_out, outs
