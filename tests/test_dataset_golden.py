@@ -1,0 +1,92 @@
+"""Golden regression on a COMMITTED recorded sequence.
+
+tests/data/corridor_seq holds 40 stereo PGM frames + GT poses recorded
+once with examples/run_dataset.py --record (git-committed, ~6 MB). The
+test replays them through the native prefetching reader and the full
+stereo SLAM stack and asserts trajectory accuracy against a committed
+golden bound — the cold-checkout anchor the procedural benches cannot
+provide (every other ATE number is produced from renders generated
+in-process per run).
+
+Reference capability: the rosbag-replay test workflow
+(fisher_information_plugins/FisherInformationTest.md:1-13) and the
+GT-vs-SLAM ATE harness (comparision_scripts/exploration_accuracy.cpp).
+
+Golden values (recorded 2026-08-21, CPU, this config):
+  ATE RMSE = 0.017 m over 40 frames; 18 keyframes.
+Bounds below allow ~2x regression headroom before failing.
+"""
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from fitslam_tpu.utils.config import FitSlamConfig
+
+SEQ_DIR = Path(__file__).parent / "data" / "corridor_seq"
+
+GOLDEN_ATE_BOUND_M = 0.035      # golden 0.017 + headroom
+GOLDEN_KF_RANGE = (10, 30)      # golden 18
+
+
+def _config(W=320, H=240):
+    cfg = FitSlamConfig()
+    # must match the recording config in examples/run_dataset.py::main
+    return dataclasses.replace(
+        cfg,
+        camera=dataclasses.replace(cfg.camera, width=W, height=H, fx=200.0,
+                                   fy=200.0, cx=W / 2, cy=H / 2, baseline=0.2),
+        orb=dataclasses.replace(cfg.orb, num_features=512, num_levels=2,
+                                fast_threshold=12.0),
+        tracking=dataclasses.replace(cfg.tracking, min_inliers=10,
+                                     keyframe_min_interval=2,
+                                     keyframe_translation=0.3),
+        mapping=dataclasses.replace(cfg.mapping, max_keyframes=64,
+                                    max_landmarks=4096, max_observations=12288,
+                                    local_window=4, ba_iters=3),
+        loop=dataclasses.replace(cfg.loop, enabled=False),
+    )
+
+
+def test_committed_sequence_golden_ate():
+    from fitslam_tpu.runtime.native import PgmSequenceReader, load_library
+
+    if load_library() is None:
+        pytest.skip("native runtime unavailable (no g++)")
+    assert (SEQ_DIR / "left").exists(), "committed sequence missing"
+
+    import jax.numpy as jnp
+
+    from fitslam_tpu.models.slam import StereoSlam
+    from fitslam_tpu.utils import evaluation as ev
+
+    cfg = _config()
+    left_rd = PgmSequenceReader(SEQ_DIR / "left", prefetch=4)
+    right_rd = PgmSequenceReader(SEQ_DIR / "right", prefetch=4)
+    try:
+        assert (left_rd.width, left_rd.height) == (320, 240)
+        slam = StereoSlam(cfg)
+        n = min(left_rd.count, right_rd.count)
+        assert n == 40
+        for l8, r8 in zip(left_rd, right_rd):
+            slam.process_frame(jnp.asarray(l8, jnp.float32),
+                               jnp.asarray(r8, jnp.float32))
+    finally:
+        left_rd.close()
+        right_rd.close()
+
+    gt = list(np.load(SEQ_DIR / "gt_poses.npy"))[:n]
+    ate = ev.ate_rmse(slam.trajectory, gt)
+    n_kf = int(slam.map.n_kf)
+    assert ate <= GOLDEN_ATE_BOUND_M, f"ATE {ate:.4f} m > golden bound"
+    assert GOLDEN_KF_RANGE[0] <= n_kf <= GOLDEN_KF_RANGE[1], n_kf
+
+
+def test_committed_gt_poses_shape():
+    gt = np.load(SEQ_DIR / "gt_poses.npy")
+    assert gt.shape == (40, 4, 4)
+    # forward corridor motion along +x, ~0.15 m/frame
+    dx = np.diff(gt[:, 0, 3])
+    assert np.all(dx > 0.10) and np.all(dx < 0.20)
