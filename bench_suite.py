@@ -47,9 +47,14 @@ BASELINE_TICK_HZ = 5.0      # rapid-mode pipeline RateController (SURVEY §6)
 TARGET_EFFICIENCY = 0.70    # BASELINE.json north star
 
 
+_RESULTS = []   # every emitted record, for the --out committed artifact
+
+
 def _emit(metric, value, unit, vs, extra):
-    print(json.dumps({"metric": metric, "value": round(value, 3), "unit": unit,
-                      "vs_baseline": round(vs, 3), "extra": extra}))
+    rec = {"metric": metric, "value": round(value, 3), "unit": unit,
+           "vs_baseline": round(vs, 3), "extra": extra}
+    _RESULTS.append(rec)
+    print(json.dumps(rec))
 
 
 def _slam_cfg(small: bool):
@@ -79,9 +84,11 @@ def _slam_cfg(small: bool):
     ), (W, H)
 
 
-def bench_loop_slam(small: bool, n_frames: int = 200):
+def bench_loop_slam(small: bool, n_frames: int = 200, as_dict: bool = False):
     """Config 2: loop trajectory with continuous rotation (360 deg over the
-    run), loop closing + PGO + global BA enabled, host-sync frame path."""
+    run), loop closing + PGO + global BA enabled, host-sync frame path.
+    With as_dict=True returns the result payload instead of printing it
+    (bench.py embeds a loop-closure run in the headline artifact)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -135,17 +142,21 @@ def bench_loop_slam(small: bool, n_frames: int = 200):
     # TUM-style evaluation: past poses re-anchored through their reference
     # keyframes' corrected poses (slam.corrected_trajectory)
     ate_corr = ev.ate_rmse(slam.corrected_trajectory(), gt)
-    _emit("loop_slam_frames_per_s_per_chip", fps, "frames/s",
-          fps / BASELINE_FPS, {
-              "ate_rmse_m": round(ate_corr, 4),
-              "ate_rmse_uncorrected_m": round(ate, 4),
-              "loops_closed": len(slam.loop_events),
-              "n_keyframes": int(slam.map.n_kf),
-              "loop_closing_included": True,
-              "rotation_deg_total": 360,
-              "resolution": f"{W}x{H}",
-              "platform": jax.devices()[0].platform,
-          })
+    payload = dict(
+        metric="loop_slam_frames_per_s_per_chip", value=fps, unit="frames/s",
+        vs=fps / BASELINE_FPS, extra={
+            "ate_rmse_m": round(ate_corr, 4),
+            "ate_rmse_uncorrected_m": round(ate, 4),
+            "loops_closed": len(slam.loop_events),
+            "n_keyframes": int(slam.map.n_kf),
+            "loop_closing_included": True,
+            "rotation_deg_total": 360,
+            "resolution": f"{W}x{H}",
+            "platform": jax.devices()[0].platform,
+        })
+    if as_dict:
+        return payload
+    _emit(**payload)
 
 
 def bench_rgbd_fusion(small: bool, n_frames: int = 60):
@@ -447,6 +458,35 @@ print(json.dumps({"t1_s": round(t1, 3), "t2_s": round(t2, 3),
           })
 
 
+def _plot_ablation(curves, png_path):
+    """Coverage-vs-step curves as a reviewable PNG (reference:
+    scripts/py/mapviz.py:17-26 coverage plots). Categorical hues in fixed
+    order from a CVD-validated palette; identity is double-encoded via the
+    legend + direct end labels."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    colors = ["#2a78d6", "#eb6834", "#1baf7a"]  # validated categorical slots
+    fig, ax = plt.subplots(figsize=(7, 4), dpi=120)
+    for (name, cov), c in zip(curves.items(), colors):
+        ax.plot(range(len(cov)), cov, color=c, linewidth=2, label=name)
+        ax.annotate(name, (len(cov) - 1, cov[-1]), textcoords="offset points",
+                    xytext=(4, 0), fontsize=8, color="#52514e")
+    ax.set_xlabel("simulation step")
+    ax.set_ylabel("coverage fraction")
+    ax.set_title("Exploration method ablation — coverage vs time")
+    ax.set_ylim(0, 1)
+    ax.grid(color="#e6e5e0", linewidth=0.6)
+    ax.spines[["top", "right"]].set_visible(False)
+    ax.legend(frameon=False, fontsize=8, loc="lower right")
+    fig.tight_layout()
+    fig.savefig(png_path, facecolor="#fcfcfb", bbox_inches="tight")
+    plt.close(fig)
+
+
 def bench_ablation(small: bool, n_steps: int = 300):
     """Coverage-vs-method ablation (reference: CostCalculator.cpp:487-510
     baselines + mapviz.py coverage curves): the SAME rooms world explored
@@ -520,6 +560,7 @@ def bench_ablation(small: bool, n_steps: int = 300):
         f.write("step," + ",".join(curves) + "\n")
         for i in range(n_steps):
             f.write(f"{i}," + ",".join(f"{curves[m][i]:.4f}" for m in curves) + "\n")
+    _plot_ablation(curves, out.with_suffix(".png"))
     best = max(finals, key=lambda m: finals[m]["final_coverage"])
     _emit("ablation_best_final_coverage",
           finals[best]["final_coverage"], "fraction",
@@ -851,14 +892,41 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="reduced shapes (CPU smoke-test sizes)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default="",
+                    help="also write every result record to this JSON file "
+                         "(the committed BENCH_SUITE.json artifact)")
     args = ap.parse_args()
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    import datetime
+
+    failed = {}
     for name, fn in MODES.items():
         if args.mode in ("all", name):
-            fn(args.small)
+            try:
+                fn(args.small)
+            except Exception as e:  # keep the artifact run alive per-mode
+                failed[name] = f"{type(e).__name__}: {e}"
+                print(f"[bench_suite] mode {name} FAILED: {failed[name]}",
+                      file=sys.stderr)
+    if args.out:
+        import jax
+
+        payload = {
+            "recorded_utc": datetime.datetime.now(
+                datetime.timezone.utc).isoformat(timespec="seconds"),
+            "platform": jax.devices()[0].platform,
+            "small": bool(args.small),
+            "results": _RESULTS,
+            "failed_modes": failed,
+        }
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"[bench_suite] wrote {len(_RESULTS)} records -> {args.out}",
+              file=sys.stderr)
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

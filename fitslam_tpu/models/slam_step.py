@@ -52,7 +52,7 @@ def _backend_body(
     kf_min_interval, kf_translation, kf_rotation, kf_min_tracked_ratio,
     scale_factor, ba_window, ba_max_obs, ba_iters, cull_min_obs,
     wide_radius=96.0, reinit_after_lost=6, match_ratio=0.8, ba_covis=True,
-    recycle_at_fraction=0.92, recycle_target_fraction=0.7,
+    recycle_at_fraction=0.92, recycle_target_fraction=0.7, track_refine=True,
 ) -> Tuple[sm.SlamMap, tr.TrackState, StepOutputs]:
     num_features = frame.feats.capacity
 
@@ -63,7 +63,7 @@ def _backend_body(
             search_radius=search_radius, wide_radius=wide_radius,
             match_max_hamming=match_max_hamming, match_ratio=match_ratio,
             min_inliers=min_inliers, width=width, height=height,
-            pose_iters=pose_iters,
+            pose_iters=pose_iters, refine_pass=track_refine,
         )
         need = tr.need_keyframe(
             state2, n_inl, kf_min_interval, kf_translation, kf_rotation,
@@ -148,6 +148,6 @@ slam_backend_step = vjit(
         "kf_rotation", "kf_min_tracked_ratio", "scale_factor",
         "ba_window", "ba_max_obs", "ba_iters", "cull_min_obs",
         "wide_radius", "reinit_after_lost", "match_ratio", "ba_covis",
-        "recycle_at_fraction", "recycle_target_fraction",
+        "recycle_at_fraction", "recycle_target_fraction", "track_refine",
     ),
 )
