@@ -318,12 +318,16 @@ def goal_hysteresis(prev_goal_xy, new_goal_xy, prev_valid, new_valid,
 
 
 @vjit
-def blacklist_mask(goal_xy: jax.Array, circles: jax.Array,
-                   radius) -> jax.Array:
-    """(F, 2) frontier goals vs (B, 2) FIXED-CAPACITY blacklist circles
-    (pad unused rows with 1e9) -> (F,) bool within-radius mask."""
-    d = jnp.linalg.norm(goal_xy[:, None, :] - circles[None, :, :], axis=-1)
-    return jnp.any(d < radius, axis=1)
+def blacklist_mask(goal_xy: jax.Array, circles: jax.Array) -> jax.Array:
+    """(F, 2) frontier goals vs (B, 3) FIXED-CAPACITY blacklist circles
+    (x, y, radius; pad unused rows with (1e9, 1e9, 0)) -> (F,) bool mask.
+
+    Per-circle radii: an FI- or nav-failure-blacklisted pose excludes a
+    full blacklist_radius_m disc, while a reached-but-unmappable goal only
+    needs to exclude the sensor blind spot — a blanket radius there was
+    measured to wall off entire small rooms after a few goals."""
+    d = jnp.linalg.norm(goal_xy[:, None, :] - circles[None, :, :2], axis=-1)
+    return jnp.any(d < circles[None, :, 2], axis=1)
 
 
 @vjit

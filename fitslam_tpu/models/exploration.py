@@ -351,7 +351,9 @@ class ExplorationServer:
         # re-dispatching it
         if self.nav.status() == GoalStatus.DONE and self._goal_xy is not None:
             if prev_goal_cell_occ == UNKNOWN:
-                self.blacklist_xy.append(np.asarray(self._goal_xy))
+                self.blacklist_xy.append(self._circle3(
+                    self._goal_xy,
+                    self.cfg.path_optimizer.unmappable_blacklist_radius_m))
                 self.diag.blacklisted += 1
             self._goal_xy = None
 
@@ -464,26 +466,38 @@ class ExplorationServer:
         terrain that can never become a frontier again."""
         peers = []
         if self.peer_goals is not None:
-            peers = [np.asarray(g) for g in self.peer_goals() if g is not None]
+            peers = [self._circle3(g) for g in self.peer_goals()
+                     if g is not None]
         budget = max(self.BLACKLIST_CAP - len(peers), self.BLACKLIST_CAP // 2)
         if len(self.blacklist_xy) > budget:
-            evicted = self.blacklist_xy[: len(self.blacklist_xy) - budget]
+            evicted = [self._circle3(c)
+                       for c in self.blacklist_xy[: len(self.blacklist_xy) - budget]]
             self.blacklist_xy = self.blacklist_xy[len(evicted):]
             for i0 in range(0, len(evicted), self.BLACKLIST_CAP):
                 chunk = evicted[i0:i0 + self.BLACKLIST_CAP]
-                ebuf = np.full((self.BLACKLIST_CAP, 2), 1e9, np.float32)
+                ebuf = np.zeros((self.BLACKLIST_CAP, 3), np.float32)
+                ebuf[:, :2] = 1e9
                 ebuf[: len(chunk)] = np.stack(chunk)
                 self.lethal_overlay = navx.mark_lethal_discs(
-                    self.spec, self.lethal_overlay, jnp.asarray(ebuf),
-                    jnp.float32(self.cfg.path_optimizer.blacklist_radius_m))
-        circles = list(self.blacklist_xy) + peers
-        buf = np.full((self.BLACKLIST_CAP, 2), 1e9, np.float32)
+                    self.spec, self.lethal_overlay, jnp.asarray(ebuf))
+        circles = [self._circle3(c) for c in self.blacklist_xy] + peers
+        buf = np.zeros((self.BLACKLIST_CAP, 3), np.float32)
+        buf[:, :2] = 1e9
         n = min(len(circles), self.BLACKLIST_CAP)
         if n:
             buf[:n] = np.stack(circles)[-n:]
-        return cx.blacklist_mask(
-            fr.goal_xy, jnp.asarray(buf),
-            jnp.float32(self.cfg.path_optimizer.blacklist_radius_m))
+        return cx.blacklist_mask(fr.goal_xy, jnp.asarray(buf))
+
+    def _circle3(self, xy, radius: Optional[float] = None) -> np.ndarray:
+        """Normalize a blacklist entry to (x, y, radius). Entries recorded
+        as bare (x, y) — including pre-existing checkpoints — get the
+        configured default radius; peer goals likewise."""
+        a = np.asarray(xy, np.float32).reshape(-1)
+        if a.shape[0] >= 3:
+            return a[:3]
+        r = (self.cfg.path_optimizer.blacklist_radius_m
+             if radius is None else radius)
+        return np.array([a[0], a[1], r], np.float32)
 
     def _optimize_path(self, costs, fr, blacklisted, robot_xy, occ):
         # frontier nodes join the roadmap AND get edges before the TSP prices
@@ -637,7 +651,7 @@ class ExplorationServer:
             ahead = np.asarray(robot_xy) + look * np.array(
                 [math.cos(robot_yaw), math.sin(robot_yaw)]
             )
-            self.blacklist_xy.append(ahead)
+            self.blacklist_xy.append(self._circle3(ahead))
             self.diag.blacklisted += 1
             self.lethal_overlay = navx.mark_lethal_wedge(
                 self.spec, self.lethal_overlay,
@@ -724,7 +738,7 @@ class ExplorationServer:
         self.nav.cancel()
         self._goal_xy = None
         if self._goal_failures[key] >= self.cfg.exploration_bt.max_nav_failures_before_blacklist:
-            self.blacklist_xy.append(np.asarray(goal))
+            self.blacklist_xy.append(self._circle3(goal))
             self.diag.blacklisted += 1
             if self.cfg.exploration_bt.abort_on_nav_abort:
                 self.state = ExplorationState.FAILED

@@ -203,8 +203,7 @@ def mark_lethal_wedge(
 def mark_lethal_discs(
     spec: GridSpec2D,
     overlay: jax.Array,        # (G, G) bool persistent lethal overlay
-    centers_xy: jax.Array,     # (K, 2) world circle centers; 1e9 = padding
-    radius_m,                  # () float
+    circles: jax.Array,        # (K, 3) world (x, y, radius); (1e9,1e9,0) pad
 ) -> jax.Array:
     """OR a batch of world-frame discs into the persistent lethal overlay.
 
@@ -220,10 +219,10 @@ def mark_lethal_discs(
     wx = (xx.astype(jnp.float32) + 0.5) * spec.resolution + spec.origin_x
     wy = (yy.astype(jnp.float32) + 0.5) * spec.resolution + spec.origin_y
     d2 = (
-        (wx[None] - centers_xy[:, 0, None, None]) ** 2
-        + (wy[None] - centers_xy[:, 1, None, None]) ** 2
+        (wx[None] - circles[:, 0, None, None]) ** 2
+        + (wy[None] - circles[:, 1, None, None]) ** 2
     )
-    inside = jnp.any(d2 <= radius_m * radius_m, axis=0)
+    inside = jnp.any(d2 <= (circles[:, 2, None, None]) ** 2, axis=0)
     return overlay | inside
 
 

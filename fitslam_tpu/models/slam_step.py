@@ -64,6 +64,7 @@ def _backend_body(
             match_max_hamming=match_max_hamming, match_ratio=match_ratio,
             min_inliers=min_inliers, width=width, height=height,
             pose_iters=pose_iters, refine_pass=track_refine,
+            sigma_scale=scale_factor,
         )
         need = tr.need_keyframe(
             state2, n_inl, kf_min_interval, kf_translation, kf_rotation,

@@ -98,7 +98,8 @@ def process_rgbd(
     return StereoFrame(fl, d)
 
 
-@vjit(static_argnames=("width", "height", "pose_iters", "refine_pass"))
+@vjit(static_argnames=("width", "height", "pose_iters", "refine_pass",
+                       "sigma_scale"))
 def track_frame(
     K: Intrinsics,
     m: SlamMap,
@@ -113,6 +114,7 @@ def track_frame(
     height: int = 480,
     pose_iters: int = 8,
     refine_pass: bool = True,
+    sigma_scale: float = 1.4142135,
 ) -> Tuple[TrackState, jax.Array, jax.Array]:
     """One tracking step.
 
@@ -135,7 +137,12 @@ def track_frame(
         -1.0,
     )
     uvr = jnp.concatenate([feats.xy, u_r[:, None]], axis=-1)
-    sigma2 = jnp.ones((feats.xy.shape[0],))
+    # per-level measurement variance (px^2): a keypoint detected at pyramid
+    # level l carries ~scale^l pixel uncertainty at level-0 coordinates —
+    # the same weighting the map BA uses (slam_map.py insert_keyframe);
+    # uniform weights measurably bias the motion-only solve toward the
+    # coarse-level points (ORB-SLAM3 weights identically, S1)
+    sigma2 = (sigma_scale ** feats.level.astype(jnp.float32)) ** 2
 
     # only the ACTIVE Atlas map's landmarks participate in tracking
     # (ORB-SLAM3 S1: other maps are reachable via relocalization/merge only)

@@ -157,8 +157,8 @@ def save_active_system(path: str, system) -> None:
         "trajectory": {"stack": np.stack(system.slam.trajectory)
                        if system.slam.trajectory else np.zeros((0, 4, 4))},
         "explore_np": {
-            "blacklist": np.stack(ex.blacklist_xy)
-            if ex.blacklist_xy else np.zeros((0, 2)),
+            "blacklist": np.stack([ex._circle3(c) for c in ex.blacklist_xy])
+            if ex.blacklist_xy else np.zeros((0, 3)),
             "trailing": np.stack(ex.trailing_poses)
             if ex.trailing_poses else np.zeros((0, 3)),
             "goal": np.asarray(ex._goal_xy)

@@ -195,6 +195,11 @@ class PathOptimizerConfig:
     add_yaw_to_tsp: bool = False
     add_distance_to_robot_to_tsp: bool = True
     blacklist_radius_m: float = 1.2
+    # a goal REACHED but still unmapped (it sits inside the sensor's blind
+    # radius) only needs its own blind spot excluded — the full
+    # blacklist_radius_m there was measured to wall off a small room's
+    # frontiers after a handful of goals
+    unmappable_blacklist_radius_m: float = 0.5
     max_blacklist: int = 64
 
 

@@ -102,10 +102,10 @@ def test_evicted_blacklist_goal_stays_excluded():
 
 def test_mark_lethal_discs_padding_rows_never_match():
     overlay = jnp.zeros((SPEC.size, SPEC.size), bool)
-    buf = np.full((8, 2), 1e9, np.float32)
-    buf[0] = [0.0, 0.0]
-    out = np.asarray(navx.mark_lethal_discs(
-        SPEC, overlay, jnp.asarray(buf), jnp.float32(0.6)))
+    buf = np.zeros((8, 3), np.float32)
+    buf[:, :2] = 1e9
+    buf[0] = [0.0, 0.0, 0.6]
+    out = np.asarray(navx.mark_lethal_discs(SPEC, overlay, jnp.asarray(buf)))
     cell, _ = SPEC.world_to_cell(jnp.asarray([0.0, 0.0]))
     cell = np.asarray(cell)
     assert out[cell[1], cell[0]]
