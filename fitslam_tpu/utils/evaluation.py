@@ -66,4 +66,7 @@ def _positions(traj) -> np.ndarray:
         return arr[:, :3, 3]
     if arr.ndim == 2 and arr.shape[-1] == 3:
         return arr
+    if arr.ndim == 2 and arr.shape[-1] == 2:
+        # planar (x, y) trajectory (exploration robots): z = 0
+        return np.concatenate([arr, np.zeros((arr.shape[0], 1))], axis=1)
     raise ValueError(f"unsupported trajectory shape {arr.shape}")
