@@ -100,9 +100,15 @@ def bench_loop_slam(small: bool, n_frames: int = 200, as_dict: bool = False):
     from fitslam_tpu.utils import evaluation as ev
 
     cfg, (W, H) = _slam_cfg(small)
+    # detection thresholds: on the 200-frame ring the true-revisit centered
+    # cosine scores run 0.25-0.32 vs a 0.20 background ceiling (measured on
+    # chip, r04) — the old 0.35 gate silently closed ZERO loops. 0.22 +
+    # a 2-consecutive-KF consistency gate (ORB-SLAM3 style) keeps background
+    # candidates out while geometric verification stays the hard gate.
     cfg = dataclasses.replace(
         cfg, loop=dataclasses.replace(cfg.loop, enabled=True,
-                                      min_gap_keyframes=15, min_score=0.35,
+                                      min_gap_keyframes=15, min_score=0.22,
+                                      consistency_threshold=2,
                                       min_matches=20))
     K = Intrinsics.from_config(cfg.camera)
     world = synthetic.ring_world(jax.random.PRNGKey(1), num=5000,
@@ -122,19 +128,35 @@ def bench_loop_slam(small: bool, n_frames: int = 200, as_dict: bool = False):
                                        max_depth=14.0)
         frames.append((l, r))
 
+    from fitslam_tpu.utils.profiling import device_sync
+
+    POLL = 4   # batched keyframe-event poll interval (frames)
+
+    def run(slam):
+        """Async frame path + batched keyframe-event polls: loop closing
+        runs exactly as in the live system (detect -> verify -> PGO -> GBA
+        on device, host decisions at poll time) but the camera loop never
+        pays a per-frame readback — the async analog of ORB-SLAM3's
+        separate loop-closing thread."""
+        slam.process_frame_async(*frames[0])
+        device_sync(slam.outs_log[-1].pose_wc)
+        t0 = time.monotonic()
+        for i in range(1, n_frames):
+            outs = slam.process_frame_async(*frames[i])
+            if i % POLL == 0:
+                slam.poll_keyframe_events()
+        slam.poll_keyframe_events()
+        device_sync(outs.pose_wc)
+        return (n_frames - 1) / (time.monotonic() - t0)
+
     # warm pass compiles every shape (incl. loop-closing kernels)
     warm = StereoSlam(cfg)
-    for l, r in frames:
-        warm.process_frame(l, r)
+    run(warm)
     warm_loops = len(warm.loop_events)
 
     slam = StereoSlam(cfg)
-    slam.process_frame(*frames[0])
-    t0 = time.monotonic()
-    for i in range(1, n_frames):
-        slam.process_frame(*frames[i])
-    wall = time.monotonic() - t0
-    fps = (n_frames - 1) / wall
+    fps = run(slam)
+    slam.finalize()
 
     gt = [np.asarray(lie.SE3(T_gt.R[i], T_gt.t[i]).matrix())
           for i in range(n_frames)]

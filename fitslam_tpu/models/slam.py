@@ -48,6 +48,8 @@ class StereoSlam:
         self._initialized = False
         self.last_frame: Optional[tr.StereoFrame] = None
         self.outs_log: List = []   # device-side per-frame outputs (async mode)
+        self._frame_ring: Dict[int, tr.StereoFrame] = {}  # frames since last poll
+        self._polled_until = 0
         self.loop_closer = None
         self.loop_events: List[Dict] = []
         if cfg.loop.enabled:
@@ -96,10 +98,10 @@ class StereoSlam:
         in `self.outs_log`; call `finalize()` after the run to materialize
         trajectory/stats. Timing this path requires a TRUE barrier
         (utils.profiling.device_sync) — block_until_ready returns at
-        dispatch-accept on this backend (BENCH_NOTES.md). Loop closing is
-        skipped in this mode (it needs host decisions)."""
-        from fitslam_tpu.models.slam_step import slam_backend_step
-
+        dispatch-accept on this backend (BENCH_NOTES.md). Loop closing /
+        keyframe events run through `poll_keyframe_events()` — one batched
+        readback every N frames, the async analog of ORB-SLAM3's loop
+        thread — not per frame."""
         cfg = self.cfg
         frame = tr.process_stereo(
             self.K, img_left, img_right,
@@ -108,6 +110,25 @@ class StereoSlam:
             scale_factor=cfg.orb.scale_factor,
             fast_threshold=cfg.orb.fast_threshold,
         )
+        return self.process_prepared_async(frame)
+
+    def process_rgbd_frame_async(self, img, depth_img):
+        """RGB-D variant of the zero-readback step."""
+        cfg = self.cfg
+        frame = tr.process_rgbd(
+            self.K, img, depth_img,
+            num_features=cfg.orb.num_features,
+            num_levels=cfg.orb.num_levels,
+            scale_factor=cfg.orb.scale_factor,
+            fast_threshold=cfg.orb.fast_threshold,
+            max_depth=cfg.camera.depth_max,
+        )
+        return self.process_prepared_async(frame)
+
+    def process_prepared_async(self, frame: tr.StereoFrame):
+        from fitslam_tpu.models.slam_step import slam_backend_step
+
+        cfg = self.cfg
         self.map, self.state, outs = slam_backend_step(
             self.K, self.map, self.state, frame, jnp.int32(self.frame_id),
             search_radius=cfg.tracking.search_radius_px,
@@ -132,22 +153,81 @@ class StereoSlam:
             recycle_target_fraction=cfg.mapping.recycle_target_fraction,
         )
         self.outs_log.append(outs)
+        if self.loop_closer is not None or self.keyframe_events:
+            self._frame_ring[self.frame_id] = frame
         self._initialized = True
         self.frame_id += 1
         return outs
 
+    def poll_keyframe_events(self):
+        """Batched keyframe-event poll for the async path: ONE packed
+        device->host readback of (was_keyframe, kf_idx) for every frame
+        since the last poll, then keyframe callbacks + loop closing fire
+        for each new keyframe (against its retained frame). This is the
+        async analog of ORB-SLAM3's local-mapping/loop-closing threads
+        draining the keyframe queue: detection lags the camera by up to
+        the poll interval, and a correction applies from the next
+        dispatched frame onward. Returns the list of events seen."""
+        start = self._polled_until
+        window = self.outs_log[start:]
+        if not window:
+            return []
+        flags = np.asarray(jnp.stack(
+            [jnp.stack([o.was_keyframe.astype(jnp.int32), o.kf_idx])
+             for o in window]))
+        self._polled_until = len(self.outs_log)
+        events = []
+        for k in range(flags.shape[0]):
+            if flags[k, 0] < 1:
+                continue
+            fid = start + k
+            kf_idx = int(flags[k, 1])
+            frame = self._frame_ring.get(fid)
+            if frame is not None:
+                self.last_frame = frame
+            for cb in self.keyframe_events:
+                cb(self, kf_idx)
+            loop_info = None
+            if self.loop_closer is not None:
+                with self.log.scope("loop_closing", MODULE):
+                    loop_info = self.loop_closer.on_keyframe(self, kf_idx)
+                if loop_info:
+                    self.loop_events.append(loop_info)
+            events.append({"frame_id": fid, "kf_idx": kf_idx,
+                           "loop": loop_info})
+        self._frame_ring.clear()
+        return events
+
     def finalize(self):
-        """Materialize per-frame outputs accumulated by process_frame_async.
-        The single place a device->host transfer happens."""
+        """Materialize per-frame outputs accumulated by process_frame_async
+        in ONE batched device->host readback (a per-leaf pull costs a full
+        tunnel RTT each, BENCH_NOTES.md)."""
         import numpy as _np
 
-        for outs in self.outs_log:
-            self.trajectory.append(_np.asarray(outs.pose_wc))
+        if not self.outs_log:
+            return {"n_inliers": [], "keyframes": []}
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *self.outs_log)
+        flat = _np.asarray(jnp.concatenate([
+            stacked.pose_wc.reshape(len(self.outs_log), 16),
+            stacked.n_inliers[:, None].astype(jnp.float32),
+            stacked.was_keyframe[:, None].astype(jnp.float32),
+            stacked.kf_idx[:, None].astype(jnp.float32),
+            stacked.ref_kf[:, None].astype(jnp.float32),
+            stacked.ref_T_cw_R.reshape(len(self.outs_log), 9),
+            stacked.ref_T_cw_t,
+        ], axis=1))
+        for row in flat:
+            self.trajectory.append(row[:16].reshape(4, 4).astype(_np.float64))
+            self._traj_ref.append((
+                int(row[19]),
+                lie.SE3(row[20:29].reshape(3, 3), row[29:32]),
+            ))
         stats = {
-            "n_inliers": [int(o.n_inliers) for o in self.outs_log],
-            "keyframes": [int(o.kf_idx) for o in self.outs_log if bool(o.was_keyframe)],
+            "n_inliers": [int(v) for v in flat[:, 16]],
+            "keyframes": [int(row[18]) for row in flat if row[17] > 0.5],
         }
         self.outs_log = []
+        self._polled_until = 0
         return stats
 
     def process_prepared(self, frame: tr.StereoFrame) -> Dict:

@@ -263,17 +263,41 @@ def compact_map(m: SlamMap, target_fraction: float = 0.75) -> SlamMap:
     )[:L]
     last_kf = jnp.where(m.lm_valid, jnp.maximum(last_kf, m.lm_anchor_kf), -1)
 
-    # keep the newest `target` landmarks. Recency keys are heavily tied
-    # (landmarks observed by the same keyframe share last_kf), so a raw
-    # quantile cutoff can land inside a tie and keep (almost) everything —
-    # turning compaction into a no-op that re-runs every keyframe while the
-    # map stays full. Break ties deterministically by slot index so the key
-    # is unique and the threshold frees exactly down to `target`.
+    # Two-tier keep policy (r04):
+    #
+    # (a) PROTECTED: up to Q landmarks per anchor keyframe survive
+    #     regardless of age. Pure recency eviction silently deleted the
+    #     oldest region of the map — on the 204-frame ring bench every
+    #     landmark observed by keyframes 0-4 was recycled away, so loop
+    #     verification against the start of the loop had NOTHING to match
+    #     and zero loops ever closed. A protected per-KF core keeps every
+    #     keyframe relocalizable/verifiable for the whole mission
+    #     (ORB-SLAM3's long-term map keeps all non-redundant points; this
+    #     is the fixed-capacity version of that guarantee).
+    # (b) RECENCY: the remaining budget goes to the newest unprotected
+    #     landmarks, exactly as before. Keys are tied per keyframe, so the
+    #     slot index breaks ties deterministically and the threshold frees
+    #     exactly down to `target`.
+    K_cap = m.kf_valid.shape[0]
     target = int(L * target_fraction)
-    score = jnp.where(m.lm_valid, last_kf * L + jnp.arange(L, dtype=last_kf.dtype), -1)
-    order = jnp.sort(score)                    # ascending, invalid (-1) first
-    cutoff = order[L - target]                 # keep score >= cutoff (unique keys)
-    keep = m.lm_valid & (score >= cutoff)
+    Q = max(8, target // K_cap)
+    idx_arange = jnp.arange(L, dtype=jnp.int32)
+    anchor = jnp.where(m.lm_valid, m.lm_anchor_kf, K_cap).astype(jnp.int32)
+    akey = anchor * L + idx_arange
+    order_a = jnp.argsort(akey)
+    pos_of = jnp.zeros((L,), jnp.int32).at[order_a].set(idx_arange)
+    first_pos = jax.ops.segment_min(pos_of, anchor, num_segments=K_cap + 1)
+    rank_in_kf = pos_of - first_pos[jnp.minimum(anchor, K_cap)]
+    protected = m.lm_valid & (rank_in_kf < Q)
+    n_prot = jnp.sum(protected.astype(jnp.int32))
+
+    score = jnp.where(m.lm_valid & jnp.logical_not(protected),
+                      last_kf * L + idx_arange.astype(last_kf.dtype), -1)
+    order = jnp.sort(score)                    # ascending, ineligible (-1) first
+    remaining = jnp.clip(target - n_prot, 0, L - 1)
+    cutoff = jnp.where(remaining > 0, order[L - remaining],
+                       jnp.asarray(2 * L * L, order.dtype))
+    keep = protected | (m.lm_valid & jnp.logical_not(protected) & (score >= cutoff))
 
     # compact landmarks: old slot -> new slot (stable order)
     new_idx = jnp.cumsum(keep.astype(jnp.int32)) - 1

@@ -39,6 +39,12 @@ class StepOutputs(NamedTuple):
     was_keyframe: jax.Array   # () bool
     kf_idx: jax.Array         # () int32 (-1 unless was_keyframe)
     pose_wc: jax.Array        # (4, 4) world-from-camera
+    # reference-keyframe anchor AT THE TIME of this frame: lets the async
+    # path rewrite past poses through loop-closure/GBA-corrected keyframes
+    # (slam.corrected_trajectory) without any per-frame host sync
+    ref_kf: jax.Array         # () int32
+    ref_T_cw_R: jax.Array     # (3, 3) reference KF camera-from-world then
+    ref_T_cw_t: jax.Array     # (3,)
 
 
 def _backend_body(
@@ -132,11 +138,15 @@ def _backend_body(
     m_out, state_out, kf_idx = jax.lax.cond(
         can_insert, do_insert, no_insert, (m, state2)
     )
+    ref = jnp.maximum(m_out.n_kf - 1, 0)
     outs = StepOutputs(
         n_inliers=n_inl,
         was_keyframe=can_insert,
         kf_idx=kf_idx,
         pose_wc=lie.inverse(state_out.T_cw).matrix(),
+        ref_kf=ref,
+        ref_T_cw_R=m_out.kf_T_cw.R[ref],
+        ref_T_cw_t=m_out.kf_T_cw.t[ref],
     )
     return m_out, state_out, outs
 

@@ -299,10 +299,15 @@ def test_compact_map_recycles_stale_landmarks():
     out = smod.compact_map(m, target_fraction=0.375)  # keep 24 of 64 slots
     assert int(out.n_lm) == 24
     assert int(out.n_obs) == 24
-    # survivors are exactly the KF-5-observed landmarks, positions preserved
+    # two-tier keep (r04): Q = max(8, 24 // K_cap=8) = 8 landmarks per
+    # anchor KF are PROTECTED (all anchors are 0 here -> slots 0..7, which
+    # are the stale KF-1-observed ones — protection beats recency so every
+    # keyframe stays loop-verifiable); the remaining 16 budget goes to the
+    # most recent unprotected (KF-5-observed, slot tie-break -> 32..47)
     kept = np.asarray(out.lm_pos[:24])
+    expect = np.concatenate([pos[0:8], pos[32:48]])
     np.testing.assert_allclose(np.sort(kept, axis=0),
-                               np.sort(pos[24:48], axis=0), atol=1e-6)
+                               np.sort(expect, axis=0), atol=1e-6)
     # observation remap is consistent: each obs points at the landmark whose
     # u-coordinate stamp matches its original landmark id
     o_lm = np.asarray(out.obs_lm[:24])
