@@ -52,15 +52,15 @@ def main():
         ),
         # keyframe policy at the knee of the measured KF-rate/ATE trade
         # curve (BENCH_NOTES.md r04): KF every ~5 frames with a 6-KF covis
-        # BA window + the track-refine pass holds ATE under the 0.01 m bar
-        # at 1.5x the frame rate of the r03 every-2-frames cadence
+        # BA window (3 accept/reject GN iters) + the track-refine pass holds
+        # ATE under the 0.01 m bar at 1.56x the r03 every-2-frames cadence
         tracking=dataclasses.replace(
             cfg.tracking, min_inliers=12, keyframe_min_interval=2,
             keyframe_translation=0.75,
         ),
         mapping=dataclasses.replace(
             cfg.mapping, max_keyframes=64, max_landmarks=8192,
-            max_observations=32768, local_window=6, ba_iters=4,
+            max_observations=32768, local_window=6, ba_iters=3,
         ),
     )
     K = Intrinsics.from_config(cfg.camera)

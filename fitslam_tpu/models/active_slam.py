@@ -100,6 +100,7 @@ class ActiveSlamSystem:
             nav=nav,
             get_robot_pose=get_robot_pose,
             fi_oracle=self.fisher_information_of_pose,
+            fi_oracle_device=self.fisher_information_of_pose_device,
             get_kf_poses=self.kf_poses_world,
             event_logger=self.log,
             get_landmarks=self.landmark_map_world,
@@ -271,8 +272,11 @@ class ActiveSlamSystem:
     # Fisher-information oracle (the reference's isPoseSafe, §3.3)
     # ------------------------------------------------------------------
 
-    def fisher_information_of_pose(self, robot_xy, robot_yaw,
-                                   exhaustive: bool = False) -> float:
+    def fisher_information_of_pose_device(self, robot_xy, robot_yaw,
+                                          exhaustive: bool = False):
+        """isPoseSafe's information scalar as a DEVICE value: the
+        exploration tick folds it into its one packed pull instead of
+        paying a dedicated readback (FisherInfoManager.cpp:39-115)."""
         fcfg = self.cfg.fisher_information
         T_wc = camera_pose_from_robot(robot_xy[0], robot_xy[1], robot_yaw)
         if self.T_anchor is not None:
@@ -281,13 +285,17 @@ class ActiveSlamSystem:
             T_wc = lie.compose(lie.inverse(self.T_anchor), T_wc)
         max_d = fcfg.max_landmark_distance * (2.0 if exhaustive else 1.0)
         p_c, ok = self.slam.get_landmarks_in_view(T_wc, max_distance=max_d)
-        info = fisher.pose_information(
+        return fisher.pose_information(
             p_c, ok,
             noise_var=fcfg.measurement_noise,
             max_distance=max_d,
             saturation_exponent=fcfg.saturation_exponent,
         )
-        return float(info)
+
+    def fisher_information_of_pose(self, robot_xy, robot_yaw,
+                                   exhaustive: bool = False) -> float:
+        return float(self.fisher_information_of_pose_device(
+            robot_xy, robot_yaw, exhaustive))
 
     def landmark_map_world(self):
         """World-frame landmark ground-plane positions + per-landmark

@@ -49,9 +49,12 @@ from fitslam_tpu.utils import logging as logx
 
 @vjit(static_argnames=("spec",))
 def _pack_tick_scalars(spec, occ, fr_valid, fr_goal_xy, best_heading,
-                       has_goal, goal_idx, prev_goal):
+                       has_goal, goal_idx, prev_goal, fi_value):
     """Assemble the tick's packed control-flow pull in ONE jitted dispatch
-    (each eager jnp op from host Python costs ~8 ms through the relay)."""
+    (each eager jnp op from host Python costs ~8 ms through the relay).
+    `fi_value` is the prefetched Fisher-information scalar for the FI gate
+    (folding it here saves the gate's own ~30 ms readback per tick; pass
+    -1e30 when no device oracle is wired)."""
     gi = jnp.maximum(goal_idx, 0)
     prev_cell = raycast._sample_occ(spec, occ, prev_goal[None, :])[0]
     return jnp.stack([
@@ -62,6 +65,7 @@ def _pack_tick_scalars(spec, occ, fr_valid, fr_goal_xy, best_heading,
         fr_goal_xy[gi, 1],
         best_heading[gi],
         prev_cell.astype(jnp.float32),
+        jnp.asarray(fi_value, jnp.float32),
     ])
 
 
@@ -125,6 +129,8 @@ class ExplorationServer:
         nav: NavInterface,
         get_robot_pose: Callable[[], Tuple[np.ndarray, float]],
         fi_oracle: Optional[Callable[[np.ndarray, float, bool], float]] = None,
+        fi_oracle_device: Optional[Callable[[np.ndarray, float, bool],
+                                            jax.Array]] = None,
         get_kf_poses: Optional[Callable[[], Tuple]] = None,
         event_logger: Optional[EventLogger] = None,
         peer_goals: Optional[Callable[[], List[np.ndarray]]] = None,
@@ -136,6 +142,9 @@ class ExplorationServer:
         self.nav = nav
         self.get_robot_pose = get_robot_pose
         self.fi_oracle = fi_oracle
+        # device-value variant of the oracle: its scalar folds into the
+        # tick's ONE packed pull instead of costing its own readback
+        self.fi_oracle_device = fi_oracle_device
         self.get_kf_poses = get_kf_poses
         # landmark map accessor for fisher_information_in_path: returns
         # (lm_xy (L,2) world ground-plane, lm_info (L,), lm_valid (L,))
@@ -322,9 +331,18 @@ class ExplorationServer:
         # BENCH_NOTES.md), so the tick reads back once instead of ~10 times
         prev_goal = (np.asarray(self._goal_xy, np.float32)
                      if self._goal_xy is not None else np.zeros(2, np.float32))
+        # prefetch the FI gate's scalar into the same pull when a device
+        # oracle is wired (the common non-exhaustive path; retries and
+        # path-safety checks still query the host oracle directly)
+        fi_dev = jnp.float32(-1e30)
+        if (self.fi_oracle_device is not None
+                and self.cfg.fisher_information.enabled
+                and not self._fi_exhaustive_retry):
+            fi_dev = self.fi_oracle_device(robot_xy, robot_yaw, False)
         vals = np.asarray(_pack_tick_scalars(
             self.spec, occ, fr.valid, fr.goal_xy, costs.best_heading,
-            has_goal_d, goal_idx_d, jnp.asarray(prev_goal)))
+            has_goal_d, goal_idx_d, jnp.asarray(prev_goal), fi_dev))
+        fi_prefetched = float(vals[7]) if float(vals[7]) > -1e29 else None
 
         n_frontiers = int(vals[0])
         self.diag.frontiers_found = n_frontiers
@@ -370,7 +388,8 @@ class ExplorationServer:
 
         # -- Fisher-information safety gate + retry ladder
         #    (EvaluateFisherInformation + OptimizeFullPath, §3.3) --
-        if not self._fi_gate(robot_xy, robot_yaw, new_goal):
+        if not self._fi_gate(robot_xy, robot_yaw, new_goal,
+                             prefetched_info=fi_prefetched):
             return self.state
         goal, _ = cx.goal_hysteresis(
             self._goal_xy, new_goal, self._goal_xy is not None, True, robot_xy,
@@ -595,7 +614,8 @@ class ExplorationServer:
         info = self.fi_oracle(robot_xy, heading, self._fi_exhaustive_retry)
         return PathSafety.SAFE if info > fcfg.threshold else PathSafety.UNSAFE
 
-    def _fi_gate(self, robot_xy, robot_yaw, goal_xy) -> bool:
+    def _fi_gate(self, robot_xy, robot_yaw, goal_xy,
+                 prefetched_info: Optional[float] = None) -> bool:
         """FI gate + retry ladder. Reference semantics (OptimizeFullPath,
         ExplorationBT.cpp:517-668): fi_drop_count at limit forces a blacklist;
         UNSAFE increments retries; retries at number_retries-1 escalate to
@@ -610,7 +630,11 @@ class ExplorationServer:
             self._fi_drop_count >= self.cfg.exploration_bt.fi_drop_limit
         )
         if not force_blacklist:
-            info = self.fi_oracle(robot_xy, robot_yaw, self._fi_exhaustive_retry)
+            if prefetched_info is not None and not self._fi_exhaustive_retry:
+                info = prefetched_info   # folded into the tick's packed pull
+            else:
+                info = self.fi_oracle(robot_xy, robot_yaw,
+                                      self._fi_exhaustive_retry)
             unsafe = info <= fcfg.threshold
             if not unsafe and fcfg.check_path_safety:
                 # path-level check on the segment about to be driven
