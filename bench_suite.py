@@ -364,6 +364,7 @@ def bench_active_slam(small: bool, n_frames: int = 80):
         nav.step()
     wall = time.monotonic() - (t0 or time.monotonic())
     ticks = (n_frames - 8) / max(wall, 1e-9)
+    system.finalize()   # drain async keyframe events + materialize trajectory
 
     from fitslam_tpu.utils import evaluation as ev2
 

@@ -149,6 +149,7 @@ def main():
                   f"state={system.explorer.state.name}")
     wall = time.monotonic() - (t0 or time.monotonic())
     fps = (args.frames - 1) / max(wall, 1e-9)
+    system.finalize()   # drain async keyframe events + materialize trajectory
 
     anchored = [gt_traj[0] @ T for T in system.slam.trajectory]
     ate = ev.ate_rmse(anchored, gt_traj, align=False)

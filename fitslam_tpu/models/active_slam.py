@@ -85,7 +85,10 @@ class ActiveSlamSystem:
         self._occ = jnp.full((spec.size, spec.size), gridops.UNKNOWN, jnp.uint8)
         self._grid_dirty = True
         self.slam.keyframe_events.append(self._on_keyframe)
-        self._pending_cloud: Optional[Tuple[jax.Array, jax.Array]] = None
+        # per-frame clouds awaiting keyframe association, keyed by frame id
+        # (the async path's keyframe events arrive at poll time, possibly
+        # several frames after the cloud's frame)
+        self._pending_cloud: Dict[int, Tuple[jax.Array, jax.Array]] = {}
 
         # SLAM's frame is anchored at the first camera; the simulation (or an
         # external localization consumer) works in a world frame. T_anchor is
@@ -225,14 +228,25 @@ class ActiveSlamSystem:
                       cloud_c: Optional[jax.Array] = None,
                       cloud_valid: Optional[jax.Array] = None) -> Dict:
         """Track one stereo frame; `cloud_c` is the camera-frame point cloud
-        to associate with a keyframe if one is created this frame."""
+        to associate with a keyframe if one is created this frame.
+
+        Without the EKF layer, frames take the zero-readback ASYNC path:
+        keyframe events (cloud association, loop closing) are consumed by
+        the batched poll at the next exploration tick — the reference's
+        traversability/loop consumers are likewise asynchronous topic
+        subscribers, only the 5 Hz tick needs host scalars. With the EKF
+        enabled the sync path stays: the map-frame filter fuses the SLAM
+        pose at frame rate."""
         if cloud_c is not None:
-            self._pending_cloud = (cloud_c, cloud_valid)
+            self._pending_cloud[self.slam.frame_id] = (cloud_c, cloud_valid)
+        if self.ekf is None:
+            self.slam.process_frame_async(img_left, img_right)
+            return {"async": True}
         info = self.slam.process_frame(img_left, img_right)
         if info.get("loop"):
             # loop closure moved keyframes: re-stitch grid + roadmap
             self._grid_dirty = True
-        if self.ekf is not None and not info.get("lost"):
+        if not info.get("lost"):
             # fuse the SLAM pose into the map-frame filter; when tracking is
             # lost the EKF dead-reckons on odometry alone (graceful
             # degradation — the reference keeps publishing odom-frame TF)
@@ -240,10 +254,19 @@ class ActiveSlamSystem:
         return info
 
     def _on_keyframe(self, slam: StereoSlam, kf_idx: int):
-        if self._pending_cloud is None:
+        entry = self._pending_cloud.pop(slam.last_keyframe_frame_id, None)
+        # sync path stores under the pre-increment frame id
+        if entry is None and self._pending_cloud:
+            newest = max(k for k in self._pending_cloud)
+            if newest <= slam.last_keyframe_frame_id:
+                entry = self._pending_cloud.pop(newest)
+        if entry is None:
             return
-        cloud_c, valid = self._pending_cloud
-        self._pending_cloud = None
+        cloud_c, valid = entry
+        # drop stale per-frame clouds from before this keyframe
+        for k in [k for k in self._pending_cloud
+                  if k < slam.last_keyframe_frame_id]:
+            del self._pending_cloud[k]
         self.clouds = gridops.add_cloud(self.clouds, cloud_c, valid, jnp.int32(kf_idx))
         self._grid_dirty = True
 
@@ -311,5 +334,17 @@ class ActiveSlamSystem:
         )
         return p[:, :2], info, m.lm_valid
 
+    def finalize(self):
+        """End-of-run: drain pending keyframe events and materialize the
+        async path's trajectory/stats (one batched readback)."""
+        self.slam.poll_keyframe_events()
+        return self.slam.finalize()
+
     def tick_exploration(self):
+        # drain keyframe events accumulated by the async frame path (one
+        # batched readback): cloud association + loop closing fire here,
+        # then the tick plans on the refreshed grid
+        events = self.slam.poll_keyframe_events()
+        if any(ev.get("loop") for ev in events):
+            self._grid_dirty = True   # keyframes moved: re-stitch
         return self.explorer.tick()

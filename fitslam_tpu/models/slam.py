@@ -50,6 +50,7 @@ class StereoSlam:
         self.outs_log: List = []   # device-side per-frame outputs (async mode)
         self._frame_ring: Dict[int, tr.StereoFrame] = {}  # frames since last poll
         self._polled_until = 0
+        self._outs_base = 0   # frame id corresponding to outs_log[0]
         # frame id of the keyframe currently being delivered to
         # keyframe_events callbacks (lets consumers look up per-frame
         # side data — e.g. the frame's point cloud — by frame id)
@@ -156,6 +157,8 @@ class StereoSlam:
             recycle_at_fraction=cfg.mapping.recycle_at_fraction,
             recycle_target_fraction=cfg.mapping.recycle_target_fraction,
         )
+        if not self.outs_log:
+            self._outs_base = self.frame_id   # frame id of outs_log[0]
         self.outs_log.append(outs)
         if self.loop_closer is not None or self.keyframe_events:
             self._frame_ring[self.frame_id] = frame
@@ -184,7 +187,7 @@ class StereoSlam:
         for k in range(flags.shape[0]):
             if flags[k, 0] < 1:
                 continue
-            fid = start + k
+            fid = self._outs_base + start + k
             kf_idx = int(flags[k, 1])
             frame = self._frame_ring.get(fid)
             if frame is not None:

@@ -104,6 +104,7 @@ def active_run():
         # one control step per camera frame: a real camera runs at >= the
         # controller rate (reference: 10 Hz controller, 15-30 fps camera)
         nav.step()
+    system.finalize()   # drain async keyframe events + materialize trajectory
     return system, robot, gt_traj, fi_values
 
 

@@ -172,7 +172,12 @@ def test_active_system_roundtrip(tmp_path):
     left, right = synthetic.render_stereo(K, world3d, cam, width=W, height=H,
                                           max_depth=12.0)
     info = sys_b.process_frame(left, right)
-    assert info["n_inliers"] > 10
+    if info.get("async"):
+        # async live loop (no EKF): per-frame outputs stay on device
+        n_inl = int(sys_b.slam.outs_log[-1].n_inliers)
+    else:
+        n_inl = info["n_inliers"]
+    assert n_inl > 10
 
 
 def test_ekf_state_round_trips(tmp_path):
