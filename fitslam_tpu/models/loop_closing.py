@@ -153,6 +153,9 @@ class LoopCloser:
         i = int(cand.kf_idx)
         j = kf_idx
         T_i = lie.SE3(m.kf_T_cw.R[i], m.kf_T_cw.t[i])
+        # keyframe j's pose BEFORE correction: the tracker update at the end
+        # composes the correction delta relative to it
+        T_j_old = lie.SE3(m.kf_T_cw.R[j], m.kf_T_cw.t[j])
         T_ij = lie.compose(T_i, lie.inverse(T_loop))
         self.loop_edges.append((i, j, np.asarray(T_ij.matrix())))
         self.last_loop_kf = kf_idx
@@ -216,8 +219,16 @@ class LoopCloser:
             m, gba_stats = sm.global_ba(m, self.K, iters=cfg.gba_iters)
             gba_chi2 = float(np.asarray(gba_stats.chi2)[-1])
         slam.map = m
-        # rebase the tracker on the corrected keyframe pose
-        T_cur = lie.SE3(m.kf_T_cw.R[j], m.kf_T_cw.t[j])
+        # propagate the correction to the tracker by COMPOSING the delta:
+        # the current frame may be several frames past keyframe j (async
+        # polling lags the camera by the poll interval), so a hard rebase to
+        # j's pose would discard that motion. Preserve the camera-relative
+        # pose to j: C_new = C_old ∘ T_j_old⁻¹ ∘ T_j_new (equals the old
+        # hard rebase exactly when the current frame IS keyframe j, the
+        # sync-path case where C_old == T_j_old).
+        T_j_new = lie.SE3(m.kf_T_cw.R[j], m.kf_T_cw.t[j])
+        T_cur = lie.compose(
+            lie.compose(slam.state.T_cw, lie.inverse(T_j_old)), T_j_new)
         slam.state = slam.state._replace(T_cw=T_cur, T_cw_last_kf=T_cur)
         return {
             "loop_from": j,
