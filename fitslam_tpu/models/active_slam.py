@@ -255,11 +255,14 @@ class ActiveSlamSystem:
 
     def _on_keyframe(self, slam: StereoSlam, kf_idx: int):
         entry = self._pending_cloud.pop(slam.last_keyframe_frame_id, None)
-        # sync path stores under the pre-increment frame id
+        # fallback: newest pending cloud AT OR BEFORE this keyframe's frame
+        # (a newer frame's cloud may already be pending under poll lag; it
+        # belongs to a future keyframe, not this one)
         if entry is None and self._pending_cloud:
-            newest = max(k for k in self._pending_cloud)
-            if newest <= slam.last_keyframe_frame_id:
-                entry = self._pending_cloud.pop(newest)
+            cands = [k for k in self._pending_cloud
+                     if k <= slam.last_keyframe_frame_id]
+            if cands:
+                entry = self._pending_cloud.pop(max(cands))
         if entry is None:
             return
         cloud_c, valid = entry

@@ -487,7 +487,12 @@ class ExplorationServer:
         if self.peer_goals is not None:
             peers = [self._circle3(g) for g in self.peer_goals()
                      if g is not None]
-        budget = max(self.BLACKLIST_CAP - len(peers), self.BLACKLIST_CAP // 2)
+        # peers are capped to half the buffer SEPARATELY so own-blacklist
+        # circles within budget are never silently truncated: any own circle
+        # beyond the post-peer budget goes through the durable eviction path
+        # (rasterized into the lethal overlay) below, never dropped
+        peers = peers[: self.BLACKLIST_CAP // 2]
+        budget = self.BLACKLIST_CAP - len(peers)
         if len(self.blacklist_xy) > budget:
             evicted = [self._circle3(c)
                        for c in self.blacklist_xy[: len(self.blacklist_xy) - budget]]

@@ -51,6 +51,7 @@ class StereoSlam:
         self._frame_ring: Dict[int, tr.StereoFrame] = {}  # frames since last poll
         self._polled_until = 0
         self._outs_base = 0   # frame id corresponding to outs_log[0]
+        self._outs_fids: List[int] = []  # frame id per outs_log entry
         # frame id of the keyframe currently being delivered to
         # keyframe_events callbacks (lets consumers look up per-frame
         # side data — e.g. the frame's point cloud — by frame id)
@@ -160,6 +161,10 @@ class StereoSlam:
         if not self.outs_log:
             self._outs_base = self.frame_id   # frame id of outs_log[0]
         self.outs_log.append(outs)
+        # frame id recorded PER ENTRY: interleaving sync process_frame calls
+        # (which advance frame_id without touching outs_log) must not shift
+        # the poll-time mapping from outs_log index to frame id
+        self._outs_fids.append(self.frame_id)
         if self.loop_closer is not None or self.keyframe_events:
             self._frame_ring[self.frame_id] = frame
         self._initialized = True
@@ -187,7 +192,7 @@ class StereoSlam:
         for k in range(flags.shape[0]):
             if flags[k, 0] < 1:
                 continue
-            fid = self._outs_base + start + k
+            fid = self._outs_fids[start + k]
             kf_idx = int(flags[k, 1])
             frame = self._frame_ring.get(fid)
             if frame is not None:
@@ -235,6 +240,7 @@ class StereoSlam:
             "keyframes": [int(row[18]) for row in flat if row[17] > 0.5],
         }
         self.outs_log = []
+        self._outs_fids = []
         self._polled_until = 0
         return stats
 

@@ -136,8 +136,19 @@ def load_slam(path: str, slam) -> None:
 
 def save_active_system(path: str, system) -> None:
     """Checkpoint an ActiveSlamSystem: SLAM + clouds + roadmap +
-    exploration host state (goal, blacklist, diagnostics, overlay)."""
+    exploration host state (goal, blacklist, diagnostics, overlay).
+
+    Drains the async frame path first: keyframe events (cloud association,
+    loop closing) fire for every dispatched frame and the device-side
+    outs_log is materialized into slam.trajectory, so a restored mission
+    keeps its full history. Per-frame clouds of frames that have not become
+    keyframes by save time are dropped (they would only ever be associated
+    to a future keyframe)."""
     ex = system.explorer
+    if hasattr(system.slam, "poll_keyframe_events"):  # fake backends skip
+        system.slam.poll_keyframe_events()
+        system.slam.finalize()
+        system._pending_cloud.clear()
     if getattr(system, "ekf", None) is not None:
         # fold buffered measurement rows into the filter states before
         # snapshotting — otherwise sensor data received since the last flush
