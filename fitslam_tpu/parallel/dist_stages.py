@@ -324,7 +324,9 @@ def stage_pipelined_slam(
                     n_inliers=jnp.int32(0), was_keyframe=jnp.bool_(False),
                     kf_idx=jnp.int32(-1), pose_wc=jnp.eye(4),
                     ref_kf=jnp.int32(0), ref_T_cw_R=jnp.eye(3),
-                    ref_T_cw_t=jnp.zeros((3,)))
+                    ref_T_cw_t=jnp.zeros((3,)),
+                    loop_cand=jnp.int32(-1),
+                    loop_score=jnp.float32(-jnp.inf))
 
             m2, st2, outs = jax.lax.cond(
                 (idx == 1) & flag, do_backend, skip, (m_c, st_c))

@@ -221,6 +221,7 @@ def load_active_system(path: str, system) -> None:
             lie.SE3.identity(), groups["anchor"]
         )
     system._grid_dirty = True  # refuse stale grids: re-fuse on first read
+    system._restitch = True    # running aggregates are not checkpointed
     enp = groups["explore_np"]
     ex.blacklist_xy = [b for b in enp["blacklist"]]
     ex.trailing_poses = [t for t in enp["trailing"]]

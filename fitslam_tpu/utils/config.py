@@ -115,6 +115,12 @@ class LoopConfig:
     pgo_iters: int = 12
     run_global_ba: bool = True      # GBA after PGO (loop-closing thread, §3.4)
     gba_iters: int = 8
+    # essential-graph edges for PGO: keyframe pairs sharing >= covis_min_shared
+    # landmark observations (ORB-SLAM3 essential graph; fixed top-k capacity)
+    covis_max_edges: int = 256
+    covis_min_shared: int = 15
+    # merge duplicate landmarks across a closed loop (SearchAndFuse analog)
+    fuse_landmarks: bool = True
 
 
 @dataclass(frozen=True)
