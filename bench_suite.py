@@ -800,9 +800,17 @@ def bench_kernels(small: bool):
             v = d1.sum() + idx.sum() + colb.sum()
             return (s + v, touch(d, v))
 
+        def chunked_step(c, db, va, vb):
+            s, d = c
+            m = matching.match_ratio_chunked(d, db, va, vb)
+            v = (m.distance.sum() + m.idx_b.sum()).astype(jnp.float32)
+            return (s + v, touch(d, v))
+
         args = (db, va, vb)
         out[f"match_xla_us_Nb{Nb}"] = round(
             measure(xla_step, (jnp.float32(0), da), args) * 1e6, 1)
+        out[f"match_chunked_us_Nb{Nb}"] = round(
+            measure(chunked_step, (jnp.float32(0), da), args) * 1e6, 1)
         if on_tpu:
             out[f"match_pallas_us_Nb{Nb}"] = round(
                 measure(pal_step, (jnp.float32(0), da), args) * 1e6, 1)

@@ -167,6 +167,9 @@ class LoopCloser:
         self.K = K
         self.loop_edges: List[Tuple[int, int, np.ndarray]] = []  # (i, j, T_ij 4x4)
         self.last_loop_kf = -(10**9)
+        # >1-device mesh => GBA runs landmark-sharded over it (the live
+        # distributed path of BASELINE.json configs[4]; set by the runner)
+        self.mesh = None
         # temporal consistency state (ORB-SLAM3 mnCovisibilityConsistencyTh):
         # the same candidate region must recur on consecutive keyframes
         self._consist_cand = -(10**9)
@@ -304,8 +307,13 @@ class LoopCloser:
         # async analog of ORB-SLAM3's background-GBA thread.
         gba_chi2 = None
         if cfg.run_global_ba:
-            m, gba_stats = sm.global_ba(m, self.K, iters=cfg.gba_iters)
-            gba_chi2 = gba_stats.chi2[-1]
+            if self.mesh is not None and self.mesh.devices.size > 1:
+                m, gba_chis = sm.global_ba_dist(m, self.K, self.mesh,
+                                                iters=cfg.gba_iters)
+                gba_chi2 = gba_chis[-1]
+            else:
+                m, gba_stats = sm.global_ba(m, self.K, iters=cfg.gba_iters)
+                gba_chi2 = gba_stats.chi2[-1]
         slam.map = m
         # propagate the correction to the tracker by COMPOSING the delta:
         # the current frame may be several frames past keyframe j (async

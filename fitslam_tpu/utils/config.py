@@ -232,6 +232,9 @@ class FisherInformationConfig:
     fov_half_angle: float = 0.52    # camera half-FOV for pair info
     lethal_wedge_apex_deg: float = 45.0
     lethal_wedge_height_m: float = 3.5
+    # FI-failure wedges expire after this many BT ticks (<= 0 = never);
+    # durable blacklist-eviction discs never expire (r05 overlay hygiene)
+    lethal_wedge_ttl_ticks: int = 600
     blacklist_lookahead_m: float = 2.5
     # FI retry ladder (OptimizeFullPath BT node, ExplorationBT.cpp:517-668):
     # after number_retries-1 UNSAFE ticks the landmark search escalates to
@@ -272,6 +275,11 @@ class ExplorationBTConfig:
     fi_drop_limit: int = 2
     abort_on_nav_abort: bool = False
     replan_timeout_s: float = 6.0
+    # ClearCostmap recovery rung: after this many consecutive failures with
+    # no completed goal, aged wedge markings within the radius are cleared
+    # (reference: ClearCostmap recoveries, active_slam_explore_to_pose.xml:8-30)
+    clear_costmap_failures: int = 4
+    clear_costmap_radius_m: float = 4.0
 
 
 @dataclass(frozen=True)

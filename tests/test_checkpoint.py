@@ -161,6 +161,12 @@ def test_active_system_roundtrip(tmp_path):
     sys_b, _, _ = build()
     ckpt.load_active_system(p, sys_b)
 
+    # compare via the same fusion path: the restored system re-stitches its
+    # cloud buffer, while sys_a's grid accumulated incrementally — summation
+    # order differs at the float level (a couple cost counts on a few
+    # cells), so force sys_a through the re-stitch too
+    sys_a._restitch = True
+    sys_a._grid_dirty = True
     np.testing.assert_array_equal(np.asarray(sys_a.occupancy()),
                                   np.asarray(sys_b.occupancy()))
     np.testing.assert_array_equal(np.asarray(sys_a.explorer.roadmap.xy),

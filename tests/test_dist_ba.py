@@ -80,3 +80,22 @@ def test_mesh_sizes(problem):
             np.asarray(lie.se3_log(lie.compose(out.T_cw, lie.inverse(T_gt)))), axis=-1
         )
         assert err[1:].max() < 0.05, (nd, err)
+
+
+def test_live_gba_landmark_sharded_matches_single():
+    """The LIVE loop-closing GBA path on a >1-device mesh
+    (slam_map.global_ba_dist -> landmark-sharded solver) must produce the
+    same corrected map as the single-device global_ba (VERDICT r04
+    next-step #9: dist-BA wired into the live system, not just benches)."""
+    from fitslam_tpu.models import slam_map as sm
+    from tests.test_slam_map import _multiview_map, K as K_map
+
+    m, gt_T, pts_w = _multiview_map(jax.random.PRNGKey(7))
+    mesh = mesh_mod.make_mesh(8)
+    m_d, chis = sm.global_ba_dist(m, K_map, mesh, iters=6)
+    m_s, stats = sm.global_ba(m, K_map, iters=6)
+    np.testing.assert_allclose(np.asarray(m_d.kf_T_cw.t),
+                               np.asarray(m_s.kf_T_cw.t), atol=5e-3)
+    val = np.asarray(m.lm_valid)
+    np.testing.assert_allclose(np.asarray(m_d.lm_pos)[val],
+                               np.asarray(m_s.lm_pos)[val], atol=5e-3)

@@ -96,3 +96,63 @@ def test_scatter_matches_deterministic():
     assert inv[1] == 2
     assert inv[0] == -1     # row 3 was invalid
     assert inv[2] == -1 and inv[4] == -1
+
+
+def test_match_ratio_chunked_parity():
+    """Chunked-scan matcher (no materialized distance matrix) must make
+    bit-identical selections to the monolithic match_ratio path."""
+    import jax
+
+    key = jax.random.PRNGKey(9)
+    Na, Nb = 96, 384
+    da = (jax.random.bernoulli(key, 0.5, (Na, 256)).astype(jnp.bfloat16) * 2 - 1)
+    db = (jax.random.bernoulli(jax.random.fold_in(key, 1), 0.5,
+                               (Nb, 256)).astype(jnp.bfloat16) * 2 - 1)
+    va = jax.random.bernoulli(jax.random.fold_in(key, 2), 0.85, (Na,))
+    vb = jax.random.bernoulli(jax.random.fold_in(key, 3), 0.85, (Nb,))
+    # plant exact + near matches so selections actually fire
+    for i, j, flips in ((3, 7, 0), (10, 100, 4), (20, 250, 12), (40, 40, 30)):
+        d = da[i]
+        d = d.at[:flips].set(-d[:flips])
+        db = db.at[j].set(d)
+    for mutual in (False, True):
+        ref = matching.match_ratio(matching.hamming_matrix(da, db, va, vb),
+                                   max_distance=64, ratio=0.8, mutual=mutual)
+        got = matching.match_ratio_chunked(da, db, va, vb, max_distance=64,
+                                           ratio=0.8, mutual=mutual, chunk=96)
+        rv, gv = np.asarray(ref.valid), np.asarray(got.valid)
+        assert (rv == gv).all()
+        assert (np.asarray(ref.idx_b)[rv] == np.asarray(got.idx_b)[rv]).all()
+        assert (np.asarray(ref.distance)[rv] == np.asarray(got.distance)[rv]).all()
+
+
+def test_refine_disparity_subpixel_recovers_shift():
+    """A smooth textured image shifted by a known fractional disparity must
+    be recovered to ~0.1 px by the SAD+parabola refinement."""
+    import numpy as onp
+
+    H, W = 64, 96
+    rng = onp.random.default_rng(5)
+    base = rng.uniform(0, 255, (H, W + 8)).astype(onp.float32)
+    # smooth: repeated box blur so sub-pixel interpolation is meaningful
+    for _ in range(3):
+        base = (base + onp.roll(base, 1, 1) + onp.roll(base, -1, 1)
+                + onp.roll(base, 1, 0) + onp.roll(base, -1, 0)) / 5.0
+    true_disp = 3.6
+    xs = onp.arange(W) 
+    # right image: content shifted LEFT by true_disp (sampled linearly)
+    x_src = xs + true_disp
+    x0 = onp.floor(x_src).astype(int)
+    frac = x_src - x0
+    img_l = base[:, :W]
+    img_r = (1 - frac)[None, :] * base[:, x0.clip(0, W + 7)] \
+        + frac[None, :] * base[:, (x0 + 1).clip(0, W + 7)]
+    # wait: left content at x corresponds to right content at x - d; build
+    # right so that right[x - d] == left[x] -> right[x] = left[x + d]
+    xy_l = jnp.asarray([[40.0, 30.0], [60.0, 20.0], [25.0, 45.0]])
+    x_r = xy_l[:, 0] - 4.0   # integer-quantized initial match (off by 0.4)
+    d, ok = matching.refine_disparity_subpixel(
+        jnp.asarray(img_l), jnp.asarray(img_r), xy_l, x_r,
+        jnp.ones((3,), bool))
+    assert bool(ok.all())
+    assert np.allclose(np.asarray(d), true_disp, atol=0.15), np.asarray(d)
