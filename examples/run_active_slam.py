@@ -33,6 +33,9 @@ def main():
                          "CSV, rendered world PPMs (RosVisualizer parity)")
     ap.add_argument("--bootstrap", action="store_true",
                     help="run the InitializationSequence wiggle first")
+    ap.add_argument("--live", type=int, default=-1, metavar="PORT",
+                    help="serve a live inspection page on this port "
+                         "(0 = auto; the RViz-panel analog)")
     ap.add_argument("--ekf", action="store_true",
                     help="enable the dual-EKF + twist-mux state-estimation "
                          "layer (ekf_with_gps.yaml / twist_mux.yaml parity)")
@@ -108,7 +111,26 @@ def main():
 
     from fitslam_tpu.utils import viz
 
-    rec = viz.ArtifactRecorder(enabled=bool(args.record))
+    rec = viz.ArtifactRecorder(enabled=bool(args.record) or args.live >= 0)
+
+    live = None
+    if args.live >= 0:
+        from fitslam_tpu.utils.liveview import LiveView
+
+        ex = system.explorer
+        live = LiveView(
+            rec,
+            get_status=lambda: {
+                "state": ex.state.name, "tick": ex.diag.ticks,
+                "goals_sent": ex.diag.goals_sent,
+                "keyframes": int(system.slam.map.n_kf),
+                "robot": [round(robot.x, 2), round(robot.y, 2)],
+            },
+            on_pause=ex.pause, on_resume=ex.resume,
+        )
+        port = live._port = args.live
+        port = live.start()
+        print(f"[active_slam] live view: http://127.0.0.1:{port}/")
 
     print(f"[active_slam] {args.frames} frames @ {W}x{H} on "
           f"{jax.devices()[0].platform}; world seed {args.seed}")
@@ -142,6 +164,10 @@ def main():
             rec.record_coverage(occ_now, t)
             if system.explorer.current_goal is not None:
                 rec.publish("goal", system.explorer.current_goal, t)
+            # live-view streams (latest-only consumers)
+            rec.publish("occupancy", occ_now, t)
+            cell, _ = SPEC.world_to_cell(jnp.asarray([robot.x, robot.y]))
+            rec.publish("robot_cell", np.asarray(cell), t)
         if step % 10 == 0:
             print(f"  step {step:4d} coverage={coverage[-1]:.3f} "
                   f"kf={int(system.slam.map.n_kf)} "

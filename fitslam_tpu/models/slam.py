@@ -159,6 +159,11 @@ class StereoSlam:
             recycle_target_fraction=cfg.mapping.recycle_target_fraction,
             loop_min_gap=(cfg.loop.min_gap_keyframes if cfg.loop.enabled
                           else 0),
+            # stereo: ORB-SLAM3 ThDepth close-point spawn policy; RGB-D
+            # depth is sensor-direct (no z^2/bf error growth) -> full range
+            max_spawn_depth=(cfg.camera.depth_max if cfg.camera.rgbd else
+                             cfg.mapping.close_depth_factor
+                             * cfg.camera.baseline),
         )
         if not self.outs_log:
             self._outs_base = self.frame_id   # frame id of outs_log[0]
@@ -288,6 +293,9 @@ class StereoSlam:
                 recycle_target_fraction=cfg.mapping.recycle_target_fraction,
                 loop_min_gap=(cfg.loop.min_gap_keyframes if cfg.loop.enabled
                               else 0),
+                max_spawn_depth=(cfg.camera.depth_max if cfg.camera.rgbd
+                                 else cfg.mapping.close_depth_factor
+                                 * cfg.camera.baseline),
             )
             # ONE packed pull for the frame's control-flow scalars AND the
             # pose matrix (each device->host pull costs a full tunnel RTT,

@@ -66,7 +66,7 @@ def _backend_body(
     scale_factor, ba_window, ba_max_obs, ba_iters, cull_min_obs,
     wide_radius=96.0, reinit_after_lost=6, match_ratio=0.8, ba_covis=True,
     recycle_at_fraction=0.92, recycle_target_fraction=0.7, track_refine=True,
-    loop_min_gap=0,
+    loop_min_gap=0, max_spawn_depth=1e9,
 ) -> Tuple[sm.SlamMap, tr.TrackState, StepOutputs]:
     num_features = frame.feats.capacity
 
@@ -113,6 +113,7 @@ def _backend_body(
         m2 = sm.insert_keyframe(
             m, K, state2.T_cw, frame.feats, frame.depth, lm_match,
             frame_id, sig, scale_factor=scale_factor, map_id=new_map_id,
+            max_spawn_depth=max_spawn_depth,
         )
         m3 = sm.local_ba(m2, K, window=ba_window, max_obs_local=ba_max_obs,
                          iters=ba_iters, covis=ba_covis)
@@ -180,6 +181,6 @@ slam_backend_step = vjit(
         "ba_window", "ba_max_obs", "ba_iters", "cull_min_obs",
         "wide_radius", "reinit_after_lost", "match_ratio", "ba_covis",
         "recycle_at_fraction", "recycle_target_fraction", "track_refine",
-        "loop_min_gap",
+        "loop_min_gap", "max_spawn_depth",
     ),
 )

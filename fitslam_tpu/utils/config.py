@@ -92,6 +92,14 @@ class MappingConfig:
     # observed landmarks down to recycle_target * capacity (0 disables)
     recycle_at_fraction: float = 0.92
     recycle_target_fraction: float = 0.7
+    # close-point spawn policy (ORB-SLAM3 ThDepth): new stereo landmarks
+    # spawn only when depth < close_depth_factor * baseline (scarce close
+    # points are topped up with the nearest far ones); far stereo depth
+    # (error ~ z^2/bf) otherwise biases the translation scale. Default 60
+    # (vs ORB-SLAM3's 35): measured across the corridor golden (fx=200:
+    # ATE 0.011 @60 vs 0.037 @35) and run_vo; the 640x480 fx=400 ring
+    # bench pins 35 explicitly where the tighter cap was swept optimal.
+    close_depth_factor: float = 60.0
 
 
 @dataclass(frozen=True)

@@ -12,8 +12,9 @@ Reference capability: the rosbag-replay test workflow
 (fisher_information_plugins/FisherInformationTest.md:1-13) and the
 GT-vs-SLAM ATE harness (comparision_scripts/exploration_accuracy.cpp).
 
-Golden values (recorded 2026-08-21, CPU, this config):
-  ATE RMSE = 0.017 m over 40 frames; 18 keyframes.
+Golden values (re-recorded 2026-08-21 after the r05 sub-pixel stereo +
+close-point spawn changes, CPU, this config):
+  ATE RMSE = 0.011 m over 40 frames; 19 keyframes.
 Bounds below allow ~2x regression headroom before failing.
 """
 
@@ -27,8 +28,8 @@ from fitslam_tpu.utils.config import FitSlamConfig
 
 SEQ_DIR = Path(__file__).parent / "data" / "corridor_seq"
 
-GOLDEN_ATE_BOUND_M = 0.035      # golden 0.017 + headroom
-GOLDEN_KF_RANGE = (10, 30)      # golden 18
+GOLDEN_ATE_BOUND_M = 0.025      # golden 0.011 + headroom
+GOLDEN_KF_RANGE = (10, 30)      # golden 19
 
 
 def _config(W=320, H=240):

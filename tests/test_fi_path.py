@@ -195,7 +195,9 @@ def test_fi_retry_ladder_blacklists_after_retries():
     assert not srv._fi_gate(np.zeros(2), 0.0, goal)   # retry 3 -> blacklist
     assert calls[-1] is True                          # exhaustive attempt ran
     assert len(srv.blacklist_xy) == 1
-    assert bool(np.asarray(srv.lethal_overlay).any())
+    # r05: FI wedges are AGED markings (clearable/expiring), separate
+    # from the durable blacklist overlay — check the EFFECTIVE overlay
+    assert bool(np.asarray(srv._overlay()).any())
     assert srv.state == ExplorationState.RECOVERING
     assert srv._fi_retries == 0 and not srv._fi_exhaustive_retry
 
