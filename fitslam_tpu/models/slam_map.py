@@ -108,8 +108,7 @@ def insert_keyframe(
     signature: jax.Array,      # (D,) place-recognition signature
     scale_factor: float = 1.4142135,
     map_id=0,                  # Atlas map this keyframe belongs to
-    max_spawn_depth: float = 1e9,   # ORB-SLAM3 ThDepth close-point policy
-    min_spawn_count: int = 96,      # top up with nearest far points to this
+    max_spawn_depth: float = 1e9,   # ThDepth: stereo-vs-mono obs threshold
 ) -> SlamMap:
     """Append a keyframe: record observations of matched landmarks, spawn new
     landmarks from unmatched features that carry stereo depth.
@@ -135,8 +134,15 @@ def insert_keyframe(
         kf_map_id=m.kf_map_id.at[kf_idx].set(jnp.asarray(map_id, jnp.int32)),
     )
 
+    # stereo-vs-mono observation split (ORB-SLAM3 ThDepth): only CLOSE
+    # features contribute a disparity row. Far stereo depth error grows as
+    # z^2/bf and is the scale-bias channel a ring trajectory can never
+    # correct (BENCH_NOTES r05): far observations become MONO (bearing
+    # only), so far landmarks' depth comes from multi-view parallax in BA
+    # instead of single-view disparity.
     u_r = jnp.where(
-        depth > 1e-3, feats.xy[:, 0] - K.bf / jnp.maximum(depth, 1e-3), -1.0
+        (depth > 1e-3) & (depth < max_spawn_depth),
+        feats.xy[:, 0] - K.bf / jnp.maximum(depth, 1e-3), -1.0,
     )
     uvr = jnp.concatenate([feats.xy, u_r[:, None]], axis=-1)  # u_r < 0 = mono
 
@@ -155,22 +161,11 @@ def insert_keyframe(
     n_obs_after_m = jnp.minimum(m.n_obs + jnp.sum(matched.astype(jnp.int32)), O_cap)
 
     # -- spawn new landmarks from unmatched stereo features --
-    # ORB-SLAM3's ThDepth close-point policy: stereo depth error grows as
-    # z^2/bf, and the far tail's position errors bias the motion-only
-    # solve's translation scale ~-2%/frame (measured r05: the pose solve
-    # against GT landmark positions is unbiased, against spawned ones is
-    # not). CLOSE points (depth < max_spawn_depth) always spawn; when they
-    # are scarce (feature-poor forward corridor views) the NEAREST far
-    # points top the count up to min_spawn_count, exactly as the reference
-    # inserts its 100 closest when close points run out.
-    spawn_base = feats.valid & (lm_match < 0) & (depth > 1e-3)
-    close = spawn_base & (depth < max_spawn_depth)
-    n_close = jnp.sum(close.astype(jnp.int32))
-    far = spawn_base & jnp.logical_not(close)
-    k_need = jnp.clip(min_spawn_count - n_close, 0, N)
-    far_depths = jnp.sort(jnp.where(far, depth, jnp.inf))
-    kth = far_depths[jnp.clip(k_need - 1, 0, N - 1)]
-    spawn = close | (far & (k_need > 0) & (depth <= kth))
+    # ALL depths spawn (far landmarks keep tracking stable — removing them
+    # entirely doubled ring drift, BENCH_NOTES r05); a far spawn's stereo
+    # depth only INITIALIZES its position, because its observations are
+    # mono (above) and local BA refines the depth from parallax.
+    spawn = feats.valid & (lm_match < 0) & (depth > 1e-3)
     lm_slot = m.n_lm + jnp.cumsum(spawn.astype(jnp.int32)) - 1
     in_cap = lm_slot < L_cap
     spawn = spawn & in_cap
