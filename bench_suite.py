@@ -120,7 +120,7 @@ def bench_loop_slam(small: bool, n_frames: int = 200, as_dict: bool = False,
         cfg, loop=dataclasses.replace(cfg.loop, enabled=True,
                                       min_gap_keyframes=15, min_score=0.22,
                                       consistency_threshold=2,
-                                      min_matches=20))
+                                      min_matches=40))
     K = Intrinsics.from_config(cfg.camera)
     # full circle + re-entry overlap so the revisit actually happens
     T_ring = synthetic.loop_trajectory(n_frames, radius=8.0)

@@ -48,16 +48,12 @@ def detect_loop(m: sm.SlamMap, signature: jax.Array, current_kf: jax.Array,
     0.966-0.974 for UNRELATED pairs vs 0.974-1.0 for true revisits — a
     margin that drowns once the map holds enough keyframes (the 200-frame
     ring bench closed 0 loops). Subtracting the map mean scores each pair
-    by what distinguishes them from this world's average view."""
+    by what distinguishes them from this world's average view
+    (ops/place.centered_cosine_scores)."""
+    from fitslam_tpu.ops.place import centered_cosine_scores
+
     K_cap = m.kf_valid.shape[0]
-    valid_f = m.kf_valid.astype(jnp.float32)[:, None]
-    mean_sig = (jnp.sum(m.kf_signature * valid_f, axis=0)
-                / jnp.maximum(jnp.sum(valid_f), 1.0))
-    kf_c = m.kf_signature - mean_sig[None, :]
-    kf_c = kf_c / jnp.maximum(jnp.linalg.norm(kf_c, axis=1, keepdims=True), 1e-6)
-    sig_c = signature - mean_sig
-    sig_c = sig_c / jnp.maximum(jnp.linalg.norm(sig_c), 1e-6)
-    scores = kf_c @ sig_c
+    scores = centered_cosine_scores(signature, m.kf_signature, m.kf_valid)
     ok = m.kf_valid & (jnp.arange(K_cap) < current_kf - min_gap)
     scores = jnp.where(ok, scores, -jnp.inf)
     best = jnp.argmax(scores)
@@ -165,7 +161,12 @@ class LoopCloser:
     def __init__(self, cfg, K: Intrinsics):
         self.cfg = cfg
         self.K = K
-        self.loop_edges: List[Tuple[int, int, np.ndarray]] = []  # (i, j, T_ij 4x4)
+        # (i, j, T_ij 4x4, weight): weight grows with verification inliers —
+        # a 40-inlier edge is far less certain than a 240-inlier one, and a
+        # mis-estimated weak edge STAYS in this table pulling on every later
+        # PGO (seed-3 r05: one 39-inlier edge with 0.82 m error deformed the
+        # map beyond what two later near-perfect edges could repair)
+        self.loop_edges: List[Tuple[int, int, np.ndarray, float]] = []
         self.last_loop_kf = -(10**9)
         # >1-device mesh => GBA runs landmark-sharded over it (the live
         # distributed path of BASELINE.json configs[4]; set by the runner)
@@ -230,7 +231,10 @@ class LoopCloser:
         # composes the correction delta relative to it
         T_j_old = lie.SE3(m.kf_T_cw.R[j], m.kf_T_cw.t[j])
         T_ij = lie.compose(T_i, lie.inverse(T_loop))
-        self.loop_edges.append((i, j, np.asarray(T_ij.matrix())))
+        # confidence-proportional information scale (capped): ~2 at the
+        # 40-inlier acceptance floor, saturating at 10 for dense revisits
+        edge_w = float(min(10.0, n_inl_h / 20.0))
+        self.loop_edges.append((i, j, np.asarray(T_ij.matrix()), edge_w))
         self.last_loop_kf = kf_idx
         self._consist_count = 0
         self._consist_cand = -(10**9)
@@ -256,13 +260,15 @@ class LoopCloser:
         li = np.zeros((E_cap,), np.int32)
         lj = np.zeros((E_cap,), np.int32)
         lT = np.tile(np.eye(4, dtype=np.float32), (E_cap, 1, 1))
+        lw = np.ones((E_cap,), np.float32)
         li[:E_loop] = [e[0] for e in recent]
         lj[:E_loop] = [e[1] for e in recent]
         lT[:E_loop] = np.stack([e[2] for e in recent])
+        lw[:E_loop] = [e[3] for e in recent]
         loop_edges = pgo.PoseGraphEdges(
             i=jnp.asarray(li), j=jnp.asarray(lj),
             T_ij=lie.SE3.from_matrix(jnp.asarray(lT)),
-            weight=jnp.full((E_cap,), 5.0),
+            weight=jnp.asarray(lw),
             valid=jnp.arange(E_cap) < E_loop,
         )
         edges = jax.tree.map(

@@ -119,3 +119,30 @@ def score_against_keyframes(sig: jax.Array, kf_signatures: jax.Array,
     """Cosine similarity of one signature vs all keyframes; -inf where invalid."""
     s = kf_signatures @ sig
     return jnp.where(kf_valid, s, -jnp.inf)
+
+
+def centered_cosine_scores(sig: jax.Array, kf_signatures: jax.Array,
+                           kf_valid: jax.Array) -> jax.Array:
+    """Corpus-mean-centered cosine of `sig` vs every keyframe signature.
+
+    This is THE retrieval score the loop detector uses
+    (models/loop_closing.detect_loop): signatures are centered on the
+    corpus (map) mean before the cosine — the dense-BoW analog of DBoW2's
+    inverse-document-frequency weighting. Per-signature centering at build
+    time removes the uniform histogram component, but every frame of one
+    environment still shares that world's texture prior; and descriptors
+    far outside the trained vocabulary's coverage (OOD environments)
+    compress ALL affinity gaps so raw cosines saturate near 1. Subtracting
+    the corpus mean scores each pair by what distinguishes them from the
+    average view of this world, restoring the revisit-vs-alias margin in
+    both regimes (measured in tests/test_place.py). Returns (K,) scores,
+    invalid rows untouched at raw value semantics (-inf where invalid)."""
+    valid_f = kf_valid.astype(jnp.float32)[:, None]
+    mean_sig = (jnp.sum(kf_signatures * valid_f, axis=0)
+                / jnp.maximum(jnp.sum(valid_f), 1.0))
+    kf_c = kf_signatures - mean_sig[None, :]
+    kf_c = kf_c / jnp.maximum(
+        jnp.linalg.norm(kf_c, axis=1, keepdims=True), 1e-6)
+    sig_c = sig - mean_sig
+    sig_c = sig_c / jnp.maximum(jnp.linalg.norm(sig_c), 1e-6)
+    return jnp.where(kf_valid, kf_c @ sig_c, -jnp.inf)

@@ -108,7 +108,12 @@ class LoopConfig:
     vocab_dim: int = 256            # projected binary-descriptor signature dim
     min_score: float = 0.22
     min_gap_keyframes: int = 20
-    min_matches: int = 24
+    # verification acceptance floor (ORB-SLAM3 requires >= 40 inliers after
+    # its Sim3 optimization): weakly-verified edges are wrong often enough
+    # to deform the map — r05 seed 3 accepted a 39-inlier edge with 0.82 m
+    # translation error; the consistency gate retries next keyframe, where
+    # a true revisit's inlier count grows (39 -> 84 -> 240 on that run)
+    min_matches: int = 40
     # ORB-SLAM3's covisibility-consistency gate: a candidate region must be
     # re-detected on this many consecutive keyframes before geometric
     # verification may accept it (mnCovisibilityConsistencyTh = 3 upstream;

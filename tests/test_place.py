@@ -47,30 +47,49 @@ def _mix(key, desc_a, desc_b, frac_b):
 def test_signature_separates_revisit_from_aliased_room():
     """Precision/recall over a mini-corpus: revisits (same descriptors ± bit
     noise) must score ABOVE every aliased room (60-80 % shared features) and
-    far above distinct places."""
+    far above distinct places.
+
+    Scoring goes through the PIPELINE's retrieval score
+    (ops/place.centered_cosine_scores — the corpus-mean-centered cosine
+    detect_loop uses), not raw signature dot products: with the r05 trained
+    k-means vocabulary, descriptors far outside the vocabulary's coverage
+    (this corpus is uniform-random bits) compress all affinity gaps and raw
+    cosines saturate near 1.0, while the corpus-centered score keeps full
+    separation in both the in- and out-of-distribution regimes."""
+    from fitslam_tpu.ops.place import centered_cosine_scores
+
     key = jax.random.PRNGKey(7)
     valid = jnp.ones((N,), bool)
     room_a = _rand_desc(jax.random.fold_in(key, 0))
 
     sig_a = signature_from_descriptors(room_a, valid)
     # true revisits: the same physical features, some descriptor-bit noise
-    revisit_scores = []
+    revisit_sigs = []
     for k in range(4):
         d = _perturb(jax.random.fold_in(key, 10 + k), room_a, 0.02)
-        revisit_scores.append(float(signature_from_descriptors(d, valid) @ sig_a))
+        revisit_sigs.append(signature_from_descriptors(d, valid))
     # aliased rooms: 60-80 % of features look like A's (with the same
     # viewpoint noise a revisit would have), the rest are fresh
-    alias_scores = []
+    alias_sigs = []
     for k, frac in enumerate([0.2, 0.3, 0.4]):
         fresh = _rand_desc(jax.random.fold_in(key, 20 + k))
         shared = _perturb(jax.random.fold_in(key, 35 + k), room_a, 0.02)
         d = _mix(jax.random.fold_in(key, 30 + k), shared, fresh, frac)
-        alias_scores.append(float(signature_from_descriptors(d, valid) @ sig_a))
+        alias_sigs.append(signature_from_descriptors(d, valid))
     # distinct places
-    distinct_scores = []
+    distinct_sigs = []
     for k in range(4):
         d = _rand_desc(jax.random.fold_in(key, 40 + k))
-        distinct_scores.append(float(signature_from_descriptors(d, valid) @ sig_a))
+        distinct_sigs.append(signature_from_descriptors(d, valid))
+
+    # the keyframe database = the whole corpus (as in a real map); score A's
+    # signature against it exactly as detect_loop does
+    corpus = jnp.stack([sig_a] + revisit_sigs + alias_sigs + distinct_sigs)
+    kf_valid = jnp.ones((corpus.shape[0],), bool)
+    scores = centered_cosine_scores(sig_a, corpus, kf_valid)
+    revisit_scores = [float(scores[1 + k]) for k in range(4)]
+    alias_scores = [float(scores[5 + k]) for k in range(3)]
+    distinct_scores = [float(scores[8 + k]) for k in range(4)]
 
     r_min = min(revisit_scores)
     a_max = max(alias_scores)
