@@ -155,6 +155,60 @@ def fuse_loop_landmarks(
     )
 
 
+@vjit
+def scale_search(
+    K: Intrinsics,
+    m: sm.SlamMap,
+    scales: jax.Array,       # (S,) candidate global scales (include 1.0)
+) -> Tuple[sm.SlamMap, jax.Array, jax.Array]:
+    """Global map-scale line search + re-triangulation (r05).
+
+    The one drift mode an SE(3) loop closure cannot repair is uniform map
+    scale: a ring whose per-step translations are biased short closes into
+    a smaller ring whose loop edge, PGO, and (from the drifted basin) GBA
+    all score near-optimal (BENCH_NOTES r05: ring seed 3 corrected-Sim3
+    ATE 0.023 vs SE3 0.121 — the residual error was a pure -1.38% shrink). But
+    scale IS observable in a stereo system: every stereo observation row
+    (u - u_r = bf/z) pins absolute depth, so the ground-truth-scale basin
+    scores measurably lower chi2 on the same observations (21% lower,
+    tools/diag_gba_ceiling.py). This is the Sim(3)-loop-closure analog of
+    Strasdat's scale-drift-aware monocular closure / ORB-SLAM's Sim3
+    essential graph, collapsed to the uniform-scale mode as one batched
+    line search: for each candidate s, rescale all camera centers about
+    the gauge keyframe's center, RE-TRIANGULATE every landmark from its
+    observations under the scaled poses (ops/ba.retriangulate_points — the
+    stereo rows then fight or agree with the scaled parallax), and score
+    the robust chi2; keep the argmin. s=1.0 must be in the grid so the
+    search can never regress. GBA afterwards polishes the non-uniform
+    remainder from inside the right basin.
+
+    Returns (map with best-scale poses and re-triangulated landmarks,
+    best scale, (S,) chi2 per candidate)."""
+    obs = ba.Observations(kf=m.obs_kf, lm=m.obs_lm, uvr=m.obs_uvr,
+                          sigma2=m.obs_sigma2, valid=m.obs_valid)
+    # gauge camera center (keyframe 0): kept exactly fixed by the rescale
+    R0, t0 = m.kf_T_cw.R[0], m.kf_T_cw.t[0]
+    c0 = -(jnp.swapaxes(R0, -1, -2) @ t0[..., None])[..., 0]
+    centers = -jnp.einsum("kij,kj->ki", jnp.swapaxes(m.kf_T_cw.R, -1, -2),
+                          m.kf_T_cw.t)
+
+    def at_scale(s):
+        c_s = c0 + s * (centers - c0)
+        t_s = -jnp.einsum("kij,kj->ki", m.kf_T_cw.R, c_s)
+        T_s = lie.SE3(m.kf_T_cw.R, t_s)
+        pts = ba.retriangulate_points(K, T_s, m.lm_pos, obs, m.lm_valid)
+        chi2 = ba.chi2_residuals(K, T_s, pts, obs)
+        return T_s, pts, chi2
+
+    T_all, pts_all, chi_all = jax.lax.map(at_scale, scales)
+    best = jnp.argmin(chi_all)
+    m2 = m._replace(
+        kf_T_cw=lie.SE3(m.kf_T_cw.R, T_all.t[best]),
+        lm_pos=pts_all[best],
+    )
+    return m2, scales[best], chi_all
+
+
 class LoopCloser:
     """Host-side accumulator of loop edges + correction trigger."""
 
@@ -242,7 +296,25 @@ class LoopCloser:
         # --- pose-graph correction ---
         K_cap = m.kf_valid.shape[0]
         max_odo = K_cap - 1
+        # odometry measurements from the RAW (pre-correction) estimates:
+        # these are the springs that relax to absorb the closure residual
         odo = pgo.odometry_edges(m.kf_T_cw, m.n_kf, max_odo)
+        # Pre-correct the loop TAIL group (keyframe j and its recent
+        # neighbors) by composing the verified loop delta — ORB-SLAM3
+        # CorrectLoop's CorrectedSim3 group. The tail's keyframes
+        # re-associated the loop head's landmarks while still drifted, so
+        # cross-loop covisibility pairs measured from raw estimates would
+        # CONTRADICT the loop edge and pin the drifted shape (r05:
+        # near-perfect loop edges moved kfATE by <7%); measuring them
+        # through the corrected tail makes them reinforce the closure.
+        idx = jnp.arange(K_cap)
+        tail = m.kf_valid & (idx > j - cfg.correct_tail_kf) & (idx <= j)
+        delta = lie.compose(lie.inverse(T_j_old), T_loop)  # j_old -> loop
+        T_tail = lie.compose(m.kf_T_cw, delta)
+        T_corr = lie.SE3(
+            jnp.where(tail[:, None, None], T_tail.R, m.kf_T_cw.R),
+            jnp.where(tail[:, None], T_tail.t, m.kf_T_cw.t),
+        )
         # essential-graph edges (covisibility above threshold): without them
         # PGO spreads the loop error evenly along the odometry chain; with
         # them the correction concentrates where no shared observations pin
@@ -251,6 +323,8 @@ class LoopCloser:
             m.kf_T_cw, m.kf_valid, m.obs_kf, m.obs_lm, m.obs_valid,
             n_landmarks=m.lm_valid.shape[0],
             max_edges=cfg.covis_max_edges, min_shared=cfg.covis_min_shared,
+            kf_T_cw_corr=T_corr, tail=tail,
+            loop_gap=cfg.min_gap_keyframes,
         )
         # fixed-capacity loop-edge table: one compiled PGO shape regardless
         # of how many loops have closed (newest kept when over capacity)
@@ -276,8 +350,11 @@ class LoopCloser:
             odo, covis, loop_edges,
         )
         fixed = jnp.zeros((K_cap,), bool).at[0].set(True)
+        # initialize GN at the tail-corrected poses: the measurement set is
+        # consistent around that point, so convergence is one clean descent
+        # instead of fighting the closure discontinuity
         T_new, chis = pgo.optimize_pose_graph(
-            m.kf_T_cw, m.kf_valid, edges, fixed, iters=cfg.pgo_iters
+            T_corr, m.kf_valid, edges, fixed, iters=cfg.pgo_iters
         )
         # keep only valid slots
         keep = m.kf_valid[:, None]
@@ -304,6 +381,30 @@ class LoopCloser:
         # merge them so later tracking and GBA see ONE point per feature
         if cfg.fuse_landmarks:
             m = fuse_loop_landmarks(self.K, m, jnp.int32(i), jnp.int32(j))
+        # --- landmark re-triangulation from the corrected poses: GBA is a
+        # local method and the pre-correction map is a genuine local minimum
+        # (poses and landmarks complicit in the drifted geometry — measured
+        # 21% higher chi2 than the ground-truth basin on the same
+        # observations, tools/diag_gba_ceiling.py). The rigid re-anchor
+        # above preserves that geometry; re-deriving landmark positions
+        # from measurements under the corrected poses breaks it, and GBA
+        # then descends into the deeper basin (ops/ba.retriangulate_points)
+        scale_est = None
+        if cfg.scale_search_halfrange > 0:
+            # uniform-scale line search (Sim3-closure analog, see
+            # scale_search): includes the re-triangulation step at the
+            # winning scale, and s=1.0 is always a candidate so the
+            # correction can only lower chi2
+            h = cfg.scale_search_halfrange
+            n = cfg.scale_search_points | 1         # odd => 1.0 in the grid
+            scales = jnp.linspace(1.0 - h, 1.0 + h, n)
+            m, s_best, _ = scale_search(self.K, m, scales)
+            scale_est = s_best          # device scalar; finalize() reads it
+        elif cfg.retriangulate:
+            obs = ba.Observations(kf=m.obs_kf, lm=m.obs_lm, uvr=m.obs_uvr,
+                                  sigma2=m.obs_sigma2, valid=m.obs_valid)
+            m = m._replace(lm_pos=ba.retriangulate_points(
+                self.K, m.kf_T_cw, m.lm_pos, obs, m.lm_valid))
         # --- global BA: re-optimize every pose AND landmark against all
         # observations from the pose-graph-corrected initialization (the
         # reference's GBA stage of the loop-closing thread, SURVEY.md §3.4).
@@ -342,5 +443,6 @@ class LoopCloser:
             "inliers": n_inl_h,
             "pgo_chi2": chis[-1],
             "gba_chi2": gba_chi2,
+            "scale_correction": scale_est,
             "merged_maps": merged,
         }

@@ -313,6 +313,80 @@ def bundle_adjust(
     return prob_out, BAStats(chi2s, ninl)
 
 
+@vjit
+def retriangulate_points(
+    K: Intrinsics,
+    T_cw: lie.SE3,          # (Kn,) keyframe poses
+    points: jax.Array,      # (L, 3) current landmark positions (fallback)
+    obs: Observations,
+    lm_valid: jax.Array,    # (L,) bool
+) -> jax.Array:
+    """Linear re-triangulation of every landmark from its observations.
+
+    Solves, per landmark, the DLT least-squares over all its observation
+    rays (two image-line rows per observation, plus an absolute-depth row
+    for stereo rows: u - u_r = bf/z). Assembled as one pass of per-row
+    outer products segment-summed into per-landmark (3, 3)/(3,) normal
+    equations — the same reduction shape as BA's Hll — and solved with the
+    closed-form 3x3 inverse.
+
+    Why this exists (r05): after a loop correction, GBA is a LOCAL method
+    and the pre-correction map is a genuine local minimum — poses and
+    landmarks are complicit in the drifted geometry, and GN from that
+    basin stalls ~0.11 m from ground truth even though the ground-truth
+    basin scores 21% lower chi2 on the same observations (measured,
+    tools/diag_gba_ceiling.py). Resetting landmarks to the DLT solution
+    under the PGO-corrected poses breaks that complicity; GBA then
+    converges into the deeper basin (0.0101 m keyframe ATE from a clean
+    init in the same experiment). The reference's GBA works from its
+    corrected init for the same reason ORB-SLAM3 transforms landmarks
+    through their reference keyframes before GBA — but with a
+    systematically drifted map that rigid transform preserves the bad
+    geometry, while re-triangulation re-derives it from measurements.
+
+    Landmarks whose system is ill-conditioned (|det| tiny: single mono
+    observation, near-zero parallax) or that produce a non-finite point
+    keep their current position. Returns (L, 3) positions."""
+    L_n = points.shape[0]
+    O_n = obs.kf.shape[0]
+    T_o = _gather_pose(T_cw, obs.kf)
+    R, t = T_o.R, T_o.t                      # (O, 3, 3), (O, 3)
+    u, v, ur = obs.uvr[:, 0], obs.uvr[:, 1], obs.uvr[:, 2]
+    xn = (u - K.cx) / K.fx
+    yn = (v - K.cy) / K.fy
+    r0, r1, r2 = R[:, 0, :], R[:, 1, :], R[:, 2, :]
+    a1 = xn[:, None] * r2 - r0               # (O, 3)
+    b1 = t[:, 0] - xn * t[:, 2]
+    a2 = yn[:, None] * r2 - r1
+    b2 = t[:, 1] - yn * t[:, 2]
+    stereo = ur > 0.0
+    disp = jnp.maximum(u - ur, 1e-6)
+    z_meas = K.bf / disp
+    a3 = r2
+    b3 = z_meas - t[:, 2]
+    w = jnp.where(obs.valid, 1.0 / obs.sigma2, 0.0)
+    w3 = w * stereo.astype(jnp.float32)
+    # per-observation normal-equation contributions
+    AtA_o = (w[:, None, None] * (a1[:, :, None] * a1[:, None, :]
+                                 + a2[:, :, None] * a2[:, None, :])
+             + w3[:, None, None] * a3[:, :, None] * a3[:, None, :])
+    Atb_o = (w[:, None] * (a1 * b1[:, None] + a2 * b2[:, None])
+             + w3[:, None] * a3 * b3[:, None])
+    AtA = jax.ops.segment_sum(AtA_o.reshape(O_n, 9), obs.lm,
+                              num_segments=L_n).reshape(L_n, 3, 3)
+    Atb = jax.ops.segment_sum(Atb_o, obs.lm, num_segments=L_n)
+    # mild Tikhonov keeps the closed-form inverse benign; conditioning gate
+    # decides whether the solution is trusted at all
+    lam = 1e-5 * _einsum("lii->l", AtA)[:, None, None] / 3.0
+    AtA_d = AtA + (lam + 1e-9) * jnp.eye(3)
+    det = jnp.linalg.det(AtA)
+    scale = jnp.maximum(_einsum("lii->l", AtA) / 3.0, 1e-12)
+    well = (det > 1e-4 * scale**3) & lm_valid
+    p_new = _einsum("lij,lj->li", inv3x3(AtA_d), Atb)
+    ok = well & jnp.all(jnp.isfinite(p_new), axis=-1)
+    return jnp.where(ok[:, None], p_new, points)
+
+
 # ---------------------------------------------------------------------------
 # Motion-only pose optimization (tracking PnP)
 # ---------------------------------------------------------------------------

@@ -120,7 +120,7 @@ def optimize_pose_graph(
     return T_fin, chis
 
 
-@vjit(static_argnames=("n_landmarks", "max_edges", "min_shared"))
+@vjit(static_argnames=("n_landmarks", "max_edges", "min_shared", "loop_gap"))
 def covisibility_edges(
     kf_T_cw: lie.SE3,         # (K,) current keyframe poses
     kf_valid: jax.Array,      # (K,) bool
@@ -131,6 +131,9 @@ def covisibility_edges(
     max_edges: int = 256,
     min_shared: int = 15,
     weight: float = 1.0,
+    kf_T_cw_corr: lie.SE3 | None = None,   # (K,) loop-corrected poses
+    tail: jax.Array | None = None,         # (K,) bool — pre-corrected group
+    loop_gap: int = 0,
 ) -> PoseGraphEdges:
     """Essential-graph edges: keyframe pairs sharing >= min_shared landmarks.
 
@@ -149,7 +152,20 @@ def covisibility_edges(
     CURRENT pose estimates — for co-observing pairs these are exactly the
     relative poses local BA has made consistent with the shared landmarks.
     Edge weight grows with sqrt(shared/min_shared) (information scales with
-    observation count; sqrt tempers the dynamic range)."""
+    observation count; sqrt tempers the dynamic range).
+
+    LOOP CONNECTIONS (ORB-SLAM3 CorrectLoop's mvpCurrentConnectedKFs /
+    LoopConnections split): the keyframes of a just-verified loop's tail
+    re-associated the loop head's landmarks while still carrying the FULL
+    accumulated drift, so a cross-loop covisibility pair measured from the
+    raw estimates contradicts the loop edge and pins the drifted shape —
+    exactly the r05 "corrections barely bite" failure. When
+    (kf_T_cw_corr, tail, loop_gap) are given, a pair (i, j) with j in the
+    pre-corrected tail group and j - i >= loop_gap takes j's pose from the
+    corrected set (the analog of ORB-SLAM3 measuring new loop connections
+    through CorrectedSim3); near-pairs keep raw measurements (their few-step
+    relative drift is genuinely small, and injecting the correction there
+    would be wrong by the full loop error)."""
     K_cap = kf_valid.shape[0]
     L = n_landmarks
     # (K, L) incidence via flat scatter
@@ -170,8 +186,15 @@ def covisibility_edges(
     ok = top >= float(min_shared)
     i = jnp.where(ok, i, 0)
     j = jnp.where(ok, j, 0)
-    Ti = lie.SE3(kf_T_cw.R[i], kf_T_cw.t[i])
     Tj = lie.SE3(kf_T_cw.R[j], kf_T_cw.t[j])
+    if kf_T_cw_corr is not None and loop_gap > 0:
+        cross = tail[j] & (j - i >= loop_gap)
+        Tj_corr = lie.SE3(kf_T_cw_corr.R[j], kf_T_cw_corr.t[j])
+        Tj = lie.SE3(
+            jnp.where(cross[:, None, None], Tj_corr.R, Tj.R),
+            jnp.where(cross[:, None], Tj_corr.t, Tj.t),
+        )
+    Ti = lie.SE3(kf_T_cw.R[i], kf_T_cw.t[i])
     T_ij = lie.compose(Ti, lie.inverse(Tj))
     w = weight * jnp.sqrt(jnp.maximum(top / float(min_shared), 1.0))
     return PoseGraphEdges(i, j, T_ij, w, ok)

@@ -132,8 +132,26 @@ class LoopConfig:
     # landmark observations (ORB-SLAM3 essential graph; fixed top-k capacity)
     covis_max_edges: int = 256
     covis_min_shared: int = 15
+    # size of the loop-tail keyframe group pre-corrected by the verified
+    # loop delta before building the pose graph (ORB-SLAM3 CorrectLoop's
+    # CorrectedSim3 covisible group): cross-loop covisibility measurements
+    # are taken through these corrected poses so they reinforce — not
+    # contradict — the loop edge
+    correct_tail_kf: int = 8
     # merge duplicate landmarks across a closed loop (SearchAndFuse analog)
     fuse_landmarks: bool = True
+    # re-triangulate every landmark from its observations under the
+    # PGO-corrected poses before GBA (ops/ba.retriangulate_points): the
+    # rigid per-anchor re-anchor preserves the drifted local minimum that
+    # GBA cannot escape; re-derived landmarks put GBA in the deeper basin
+    retriangulate: bool = True
+    # uniform map-scale line search at loop closure (the Sim3 essential-
+    # graph analog for the scale-drift mode an SE3 closure cannot see;
+    # models/loop_closing.scale_search). Candidates span
+    # 1 +/- halfrange over `points` samples (forced odd so 1.0 is always a
+    # candidate — the search can only lower chi2). 0 disables.
+    scale_search_halfrange: float = 0.03
+    scale_search_points: int = 13
 
 
 @dataclass(frozen=True)

@@ -27,16 +27,34 @@ def umeyama_alignment(est: np.ndarray, gt: np.ndarray) -> Tuple[np.ndarray, np.n
 
 
 def ate_rmse(traj_est: Sequence[np.ndarray], traj_gt: Sequence[np.ndarray],
-             align: bool = True) -> float:
+             align: bool = True, with_scale: bool = False) -> float:
     """Absolute trajectory error RMSE over positions. Inputs: lists of 4x4
-    world-from-camera matrices (or (N, 3) position arrays)."""
+    world-from-camera matrices (or (N, 3) position arrays).
+
+    with_scale=True additionally solves the Umeyama similarity scale (the
+    TUM/evo `ate --scale` mode): the gap between SE(3)-aligned and
+    Sim(3)-aligned ATE isolates how much of the error is a uniform map
+    scale offset — the one error mode loop closure structurally cannot
+    observe (a scale-drifted ring still closes with zero residual)."""
     p_e = _positions(traj_est)
     p_g = _positions(traj_gt)
     n = min(len(p_e), len(p_g))
     p_e, p_g = p_e[:n], p_g[:n]
     if align and n >= 3:
-        R, t = umeyama_alignment(p_e, p_g)
-        p_e = p_e @ R.T + t
+        if with_scale:
+            mu_e, mu_g = p_e.mean(0), p_g.mean(0)
+            E, G = p_e - mu_e, p_g - mu_g
+            U, D, Vt = np.linalg.svd(E.T @ G)
+            S = np.eye(3)
+            if np.linalg.det(U @ Vt) < 0:
+                S[2, 2] = -1.0
+            R = (U @ S @ Vt).T
+            var_e = np.mean(np.sum(E * E, axis=1))
+            s = float(np.sum(D * np.diag(S)) / (len(E) * var_e))
+            p_e = (s * (E @ R.T)) + mu_g
+        else:
+            R, t = umeyama_alignment(p_e, p_g)
+            p_e = p_e @ R.T + t
     return float(np.sqrt(np.mean(np.sum((p_e - p_g) ** 2, axis=1))))
 
 

@@ -74,17 +74,82 @@ def main():
     print(f"A: GBA(drifted, {gba_iters} it) kfATE={kf_ate(mA, gt):.4f} "
           f"chi2={float(statsA.chi2[-1]):.1f}")
 
+    # D: scale line-search on the drifted map (chi2-vs-scale landscape),
+    # then GBA from the winning scale
+    from fitslam_tpu.models.loop_closing import scale_search
+
+    scales = jnp.linspace(0.97, 1.05, 17)
+    mD, s_best, chis = scale_search(K, m, scales)
+    print("D: chi2(s): " + "  ".join(
+        f"{float(s):.3f}:{float(c):.0f}" for s, c in zip(scales, chis)))
+    print(f"D: best s={float(s_best):.4f} kfATE={kf_ate(mD, gt):.4f}")
+    mD2, statsD = sm.global_ba(mD, K, iters=gba_iters)
+    print(f"D: GBA(scaled, {gba_iters} it) kfATE={kf_ate(mD2, gt):.4f} "
+          f"chi2={float(statsD.chi2[-1]):.1f}")
+
     # B: GBA from ground-truth poses (landmarks free to follow)
     n_kf_cap = m.kf_valid.shape[0]
     fids = np.asarray(m.kf_frame_id)
-    R_gt = np.asarray(m.kf_T_cw.R)
-    t_gt = np.asarray(m.kf_T_cw.t)
+    R_gt = np.array(np.asarray(m.kf_T_cw.R))
+    t_gt = np.array(np.asarray(m.kf_T_cw.t))
     for k in range(int(m.n_kf)):
         T_cw = np.linalg.inv(gt[int(fids[k])])
         R_gt[k] = T_cw[:3, :3]
         t_gt[k] = T_cw[:3, 3]
     m_gt = m._replace(kf_T_cw=lie.SE3(jnp.asarray(R_gt), jnp.asarray(t_gt)))
     print(f"B init: kfATE={kf_ate(m_gt, gt):.5f}")
+    # landmark re-triangulation at GT poses (host DLT over each landmark's
+    # observations): the robust chi2 CLAMP makes a GN landmark-refit from
+    # GT-poses+drifted-landmarks reject every step (all residuals start at
+    # the clamp), so triangulate directly instead
+    from fitslam_tpu.ops import ba as ba_mod
+    from fitslam_tpu.ops.ba import Observations
+
+    obs_kf = np.asarray(m.obs_kf)
+    obs_lm = np.asarray(m.obs_lm)
+    obs_uvr = np.asarray(m.obs_uvr)
+    obs_ok = np.asarray(m.obs_valid)
+    lm_valid = np.asarray(m.lm_valid)
+    L = lm_valid.shape[0]
+    fx, fy = float(K.fx), float(K.fy)
+    cx, cy = float(K.cx), float(K.cy)
+    bf = float(K.bf)
+    pts = np.array(np.asarray(m.lm_pos))
+    # rows of A p = b per observation: u, v (and ur where stereo)
+    by_lm = {}
+    for o in np.nonzero(obs_ok)[0]:
+        by_lm.setdefault(int(obs_lm[o]), []).append(o)
+    n_tri = 0
+    for l, olist in by_lm.items():
+        if not lm_valid[l]:
+            continue
+        A_rows, b_rows = [], []
+        for o in olist:
+            k = int(obs_kf[o])
+            R, t = R_gt[k], t_gt[k]
+            u, v, ur = obs_uvr[o]
+            # (u - cx)/fx * (r3 p + t3) = r1 p + t1  etc.
+            a1 = (u - cx) / fx * R[2] - R[0]
+            b1 = t[0] - (u - cx) / fx * t[2]
+            a2 = (v - cy) / fy * R[2] - R[1]
+            b2 = t[1] - (v - cy) / fy * t[2]
+            A_rows += [a1, a2]
+            b_rows += [b1, b2]
+            if ur > 0:
+                # u - ur = bf / z  =>  (r3 p + t3) = bf / (u - ur)
+                z = bf / max(u - ur, 1e-6)
+                A_rows.append(R[2])
+                b_rows.append(z - t[2])
+        A = np.stack(A_rows)
+        b = np.asarray(b_rows)
+        sol, *_ = np.linalg.lstsq(A, b, rcond=None)
+        pts[l] = sol
+        n_tri += 1
+    m_gt = m_gt._replace(lm_pos=jnp.asarray(pts))
+    obs = Observations(kf=m_gt.obs_kf, lm=m_gt.obs_lm, uvr=m_gt.obs_uvr,
+                       sigma2=m_gt.obs_sigma2, valid=m_gt.obs_valid)
+    chi_gt = float(ba_mod.chi2_residuals(K, m_gt.kf_T_cw, m_gt.lm_pos, obs))
+    print(f"B after DLT re-triangulation ({n_tri} lms): chi2={chi_gt:.1f}")
     mB, statsB = sm.global_ba(m_gt, K, iters=gba_iters)
     print(f"B: GBA(GT init, {gba_iters} it) kfATE={kf_ate(mB, gt):.4f} "
           f"chi2={float(statsB.chi2[-1]):.1f}")

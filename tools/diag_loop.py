@@ -89,8 +89,10 @@ def run_seed(seed):
         gt_i_cw = np.linalg.inv(gt[fid_i])
         T_ij_gt = gt_i_cw @ gt[fid_j]
         err = np.linalg.inv(T_ij_gt) @ T_ij_est
+        sc = info.get("scale_correction")
         records.append({
             "kf": kf_idx, "i": i, "j": j,
+            "scale": float(sc) if sc is not None else 1.0,
             "inliers": info["inliers"],
             "pre_kf_ate": pre, "post_kf_ate": post,
             "edge_t_err_m": float(np.linalg.norm(err[:3, 3])),
@@ -111,7 +113,15 @@ def run_seed(seed):
     slam.finalize()
 
     ate_raw = ev.ate_rmse(slam.trajectory, gt)
-    ate_corr = ev.ate_rmse(slam.corrected_trajectory(), gt)
+    corr = slam.corrected_trajectory()
+    ate_corr = ev.ate_rmse(corr, gt)
+    ate_corr_s = ev.ate_rmse(corr, gt, with_scale=True)
+    # per-step translation scale: est step length / gt step length, median
+    pe = np.stack([np.asarray(T)[:3, 3] for T in corr])
+    pg = np.stack([g[:3, 3] for g in gt[:len(corr)]])
+    de = np.linalg.norm(np.diff(pe, axis=0), axis=1)
+    dg = np.linalg.norm(np.diff(pg, axis=0), axis=1)
+    step_scale = float(np.median(de / np.maximum(dg, 1e-9)))
     final_kf = kf_ate(slam, gt)
 
     print(f"seed={seed}")
@@ -119,9 +129,10 @@ def run_seed(seed):
         print(f"  loop kf={r['kf']:3d} edge {r['i']:3d}->{r['j']:3d} "
               f"inl={r['inliers']:3d} kfATE {r['pre_kf_ate']:.4f}->"
               f"{r['post_kf_ate']:.4f} edge_err t={r['edge_t_err_m']:.4f} m "
-              f"R={r['edge_R_err_deg']:.3f} deg")
+              f"R={r['edge_R_err_deg']:.3f} deg s={r['scale']:.5f}")
     print(f"  final: kfATE={final_kf:.4f} traj_raw={ate_raw:.4f} "
-          f"traj_corrected={ate_corr:.4f} loops={len(slam.loop_events)}")
+          f"traj_corrected={ate_corr:.4f} corrected_sim3={ate_corr_s:.4f} "
+          f"step_scale={step_scale:.5f} loops={len(slam.loop_events)}")
 
 
 if __name__ == "__main__":
