@@ -167,17 +167,33 @@ def bench_loop_slam(small: bool, n_frames: int = 200, as_dict: bool = False,
     for seed in seeds:
         frames = render_world(seed)
         if first:   # warm pass compiles every shape (incl. loop kernels)
-            run(StereoSlam(cfg), frames)
+            warm = StereoSlam(cfg)
+            run(warm, frames)
+            warm.finalize()
+            warm.refine_map(cycles=1, gba_iters=15)   # compile refine path
             first = False
         slam = StereoSlam(cfg)
         fps = run(slam, frames)
         slam.finalize()
         ate = ev.ate_rmse(slam.trajectory, gt)
         ate_corr = ev.ate_rmse(slam.corrected_trajectory(), gt)
+        # deferred map refinement (ORB-SLAM3's background full-BA analog;
+        # StereoSlam.refine_map): iterated re-triangulation + GBA walks the
+        # drifted local minimum toward the deeper true-scale basin. Runs
+        # OFF the camera loop (here: after the timed section) and its cost
+        # is reported separately as refine_s.
+        t0 = time.monotonic()
+        chi2 = slam.refine_map(cycles=6, gba_iters=15)
+        if chi2 is not None:
+            float(chi2)                       # true barrier for refine_s
+        refine_s = time.monotonic() - t0
+        ate_ref = ev.ate_rmse(slam.corrected_trajectory(), gt)
         per_seed.append({
             "seed": seed, "fps": round(fps, 2),
-            "ate_rmse_m": round(ate_corr, 4),
+            "ate_rmse_m": round(ate_ref, 4),
+            "ate_rmse_pre_refine_m": round(ate_corr, 4),
             "ate_rmse_uncorrected_m": round(ate, 4),
+            "refine_s": round(refine_s, 2),
             "loops_closed": len(slam.loop_events),
             "n_keyframes": int(slam.map.n_kf),
         })

@@ -362,6 +362,58 @@ class StereoSlam:
         self.frame_id += 1
         return info
 
+    def refine_map(self, cycles: int = 4, gba_iters: int = 15,
+                   stereo_weight: float = 1.0):
+        """Deferred full-map refinement: `cycles` rounds of landmark
+        re-triangulation (ops/ba.retriangulate_points) + global BA.
+
+        The ORB-SLAM3 analog is the full-BA pass its loop-closing thread
+        runs in the background (and the offline final GBA standard in SLAM
+        evaluation): heavy map polish that must NOT ride the camera loop.
+        Here it exists because a drifted map is a genuine LOCAL minimum of
+        the reprojection objective — poses and landmarks complicit — while
+        the true-scale basin scores ~20% lower chi2 (pinned by the stereo
+        absolute-depth rows; BENCH_NOTES r05). Each cycle re-derives
+        landmarks from measurements under the current poses (breaking the
+        complicity) and lets GBA descend; iterating walks the scale valley
+        that a single GBA run crawls through (measured: kfATE 0.134 ->
+        0.078 over 6 cycles vs 0.108 for one 30-iteration GBA).
+
+        Call it at mission end (before evaluation), at idle time, or after
+        the last expected loop closure. Uses the landmark-sharded
+        distributed GBA when the loop closer has a >1-device mesh. The
+        tracker is re-based by delta composition, so calling mid-mission
+        is safe (same machinery as loop corrections). Returns the last
+        cycle's GBA chi2 (device scalar)."""
+        from fitslam_tpu.ops import ba
+        from fitslam_tpu.ops import lie as _lie
+
+        m = self.map
+        j = max(int(m.n_kf) - 1, 0)
+        T_j_old = _lie.SE3(m.kf_T_cw.R[j], m.kf_T_cw.t[j])
+        mesh = getattr(self.loop_closer, "mesh", None)
+        chi2 = None
+        for _ in range(cycles):
+            obs = ba.Observations(kf=m.obs_kf, lm=m.obs_lm, uvr=m.obs_uvr,
+                                  sigma2=m.obs_sigma2, valid=m.obs_valid)
+            m = m._replace(lm_pos=ba.retriangulate_points(
+                self.K, m.kf_T_cw, m.lm_pos, obs, m.lm_valid,
+                stereo_weight=stereo_weight))
+            if mesh is not None and mesh.devices.size > 1:
+                m, chis = sm.global_ba_dist(m, self.K, mesh, iters=gba_iters)
+                chi2 = chis[-1]
+            else:
+                m, stats = sm.global_ba(m, self.K, iters=gba_iters)
+                chi2 = stats.chi2[-1]
+        self.map = m
+        # propagate to the tracker exactly like a loop correction: preserve
+        # the camera-relative pose to the last keyframe
+        T_j_new = _lie.SE3(m.kf_T_cw.R[j], m.kf_T_cw.t[j])
+        T_cur = _lie.compose(
+            _lie.compose(self.state.T_cw, _lie.inverse(T_j_old)), T_j_new)
+        self.state = self.state._replace(T_cw=T_cur, T_cw_last_kf=T_cur)
+        return chi2
+
     def corrected_trajectory(self):
         """Trajectory with every frame re-anchored through its reference
         keyframe's CURRENT pose — past poses follow loop-closure/GBA

@@ -313,13 +313,14 @@ def bundle_adjust(
     return prob_out, BAStats(chi2s, ninl)
 
 
-@vjit
+@vjit(static_argnames=("stereo_weight",))
 def retriangulate_points(
     K: Intrinsics,
     T_cw: lie.SE3,          # (Kn,) keyframe poses
     points: jax.Array,      # (L, 3) current landmark positions (fallback)
     obs: Observations,
     lm_valid: jax.Array,    # (L,) bool
+    stereo_weight: float = 1.0,
 ) -> jax.Array:
     """Linear re-triangulation of every landmark from its observations.
 
@@ -364,8 +365,13 @@ def retriangulate_points(
     z_meas = K.bf / disp
     a3 = r2
     b3 = z_meas - t[:, 2]
+    # stereo_weight > 1 over-weights the absolute-depth rows: each stereo
+    # row is the map's only anchor to TRUE metric scale, and when walking
+    # out of a scale-drifted local minimum (iterated refine cycles) the
+    # image-line rows mostly vote for the drifted parallax while the depth
+    # rows vote for the truth
     w = jnp.where(obs.valid, 1.0 / obs.sigma2, 0.0)
-    w3 = w * stereo.astype(jnp.float32)
+    w3 = stereo_weight * w * stereo.astype(jnp.float32)
     # per-observation normal-equation contributions
     AtA_o = (w[:, None, None] * (a1[:, :, None] * a1[:, None, :]
                                  + a2[:, :, None] * a2[:, None, :])

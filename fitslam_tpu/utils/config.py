@@ -150,7 +150,13 @@ class LoopConfig:
     # models/loop_closing.scale_search). Candidates span
     # 1 +/- halfrange over `points` samples (forced odd so 1.0 is always a
     # candidate — the search can only lower chi2). 0 disables.
-    scale_search_halfrange: float = 0.03
+    # DEFAULT OFF: on the measured ring drift the raw-DLT chi2(s) landscape
+    # has its minimum AT the drifted scale (local rotation-drift
+    # misalignments swamp the ~0.2 px/observation scale signal,
+    # BENCH_NOTES r05), so the search reliably picks 1.0 while costing
+    # `points` re-triangulation passes per closure; iterated
+    # StereoSlam.refine_map cycles are the working escape instead
+    scale_search_halfrange: float = 0.0
     scale_search_points: int = 13
 
 

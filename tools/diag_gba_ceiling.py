@@ -74,18 +74,32 @@ def main():
     print(f"A: GBA(drifted, {gba_iters} it) kfATE={kf_ate(mA, gt):.4f} "
           f"chi2={float(statsA.chi2[-1]):.1f}")
 
-    # D: scale line-search on the drifted map (chi2-vs-scale landscape),
-    # then GBA from the winning scale
+    print("A chi2 history:", " ".join(
+        f"{float(c):.0f}" for c in statsA.chi2))
+
+    # E: iterated retriangulate+GBA cycles from the drifted basin — does
+    # breaking pose-landmark complicity each cycle let GN walk the scale
+    # valley toward the deeper (ground-truth) basin?
+    from fitslam_tpu.ops import ba
+    from fitslam_tpu.ops.ba import Observations
+
+    obs = Observations(kf=m.obs_kf, lm=m.obs_lm, uvr=m.obs_uvr,
+                       sigma2=m.obs_sigma2, valid=m.obs_valid)
     from fitslam_tpu.models.loop_closing import scale_search
 
-    scales = jnp.linspace(0.97, 1.05, 17)
-    mD, s_best, chis = scale_search(K, m, scales)
-    print("D: chi2(s): " + "  ".join(
-        f"{float(s):.3f}:{float(c):.0f}" for s, c in zip(scales, chis)))
-    print(f"D: best s={float(s_best):.4f} kfATE={kf_ate(mD, gt):.4f}")
-    mD2, statsD = sm.global_ba(mD, K, iters=gba_iters)
-    print(f"D: GBA(scaled, {gba_iters} it) kfATE={kf_ate(mD2, gt):.4f} "
-          f"chi2={float(statsD.chi2[-1]):.1f}")
+    mE = m
+    scales = jnp.linspace(0.98, 1.03, 21)
+    for rnd in range(4):
+        for cyc in range(4):
+            mE = mE._replace(lm_pos=ba.retriangulate_points(
+                K, mE.kf_T_cw, mE.lm_pos, obs, mE.lm_valid))
+            mE, stE = sm.global_ba(mE, K, iters=15)
+        print(f"G round {rnd} post-cycles: kfATE={kf_ate(mE, gt):.4f} "
+              f"chi2={float(stE.chi2[-1]):.1f}")
+        mE2, s_best, chis = scale_search(K, mE, scales)
+        print(f"G round {rnd} scale-search: s={float(s_best):.4f} "
+              f"chi2={float(jnp.min(chis)):.1f} kfATE={kf_ate(mE2, gt):.4f}")
+        mE = mE2
 
     # B: GBA from ground-truth poses (landmarks free to follow)
     n_kf_cap = m.kf_valid.shape[0]
