@@ -157,7 +157,11 @@ def bench_loop_slam(small: bool, n_frames: int = 200, as_dict: bool = False,
         for i in range(1, n_total):
             outs = slam.process_frame_async(*frames[i])
             if i % POLL == 0:
-                slam.poll_keyframe_events()
+                # pipelined poll: the flag readback copies to host while
+                # the camera loop keeps dispatching — a blocking poll here
+                # drains the dispatch pipeline and repays per-kernel tunnel
+                # latency on refill (~48 ms bubble each, diag_loop_perf)
+                slam.poll_keyframe_events(flush=False)
         slam.poll_keyframe_events()
         device_sync(outs.pose_wc)
         return (n_total - 1) / (time.monotonic() - t0)
@@ -183,7 +187,7 @@ def bench_loop_slam(small: bool, n_frames: int = 200, as_dict: bool = False,
         # OFF the camera loop (here: after the timed section) and its cost
         # is reported separately as refine_s.
         t0 = time.monotonic()
-        chi2 = slam.refine_map(cycles=6, gba_iters=15)
+        chi2 = slam.refine_map(cycles=10, gba_iters=15)
         if chi2 is not None:
             float(chi2)                       # true barrier for refine_s
         refine_s = time.monotonic() - t0
@@ -315,8 +319,7 @@ def bench_rgbd_fusion(small: bool, n_frames: int = 60):
             cloud_ring[i] = (cloud, cvalid)
             slam.process_rgbd_frame_async(img, depth)
             if i % POLL == POLL - 1:
-                slam.poll_keyframe_events()
-                cloud_ring.clear()
+                slam.poll_keyframe_events(flush=False)   # pipelined
         slam.poll_keyframe_events()
         if state["occ"] is not None:
             _sync(state["occ"])

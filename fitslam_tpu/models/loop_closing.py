@@ -229,6 +229,7 @@ class LoopCloser:
         # the same candidate region must recur on consecutive keyframes
         self._consist_cand = -(10**9)
         self._consist_count = 0
+        self._last_gba_kf = -(10**9)   # GBA rate limit (gba_min_interval_kf)
 
     def on_keyframe(self, slam, kf_idx: int, cand_idx: Optional[int] = None,
                     score: Optional[float] = None) -> Optional[dict]:
@@ -242,6 +243,12 @@ class LoopCloser:
         callers), retrieval runs on demand."""
         cfg = self.cfg.loop
         if not cfg.enabled or kf_idx < cfg.min_gap_keyframes:
+            return None
+        # post-closure cooldown (ORB-SLAM3 mnLastLoopKFid+10): optional hard
+        # gate on re-detection. Default 0 — the cheaper policy below keeps
+        # accumulating (better) loop edges with PGO-only corrections and
+        # rate-limits only the expensive GBA stage
+        if kf_idx < self.last_loop_kf + cfg.cooldown_keyframes:
             return None
         m = slam.map
         if cand_idx is None or score is None:
@@ -389,8 +396,13 @@ class LoopCloser:
         # above preserves that geometry; re-deriving landmark positions
         # from measurements under the corrected poses breaks it, and GBA
         # then descends into the deeper basin (ops/ba.retriangulate_points)
+        # GBA rate limit decided up front: the retriangulation / scale
+        # search exist to put GBA in a better basin, so they run (and pay)
+        # only when GBA itself will run
+        run_gba = (cfg.run_global_ba
+                   and kf_idx >= self._last_gba_kf + cfg.gba_min_interval_kf)
         scale_est = None
-        if cfg.scale_search_halfrange > 0:
+        if run_gba and cfg.scale_search_halfrange > 0:
             # uniform-scale line search (Sim3-closure analog, see
             # scale_search): includes the re-triangulation step at the
             # winning scale, and s=1.0 is always a candidate so the
@@ -400,7 +412,7 @@ class LoopCloser:
             scales = jnp.linspace(1.0 - h, 1.0 + h, n)
             m, s_best, _ = scale_search(self.K, m, scales)
             scale_est = s_best          # device scalar; finalize() reads it
-        elif cfg.retriangulate:
+        elif run_gba and cfg.retriangulate:
             obs = ba.Observations(kf=m.obs_kf, lm=m.obs_lm, uvr=m.obs_uvr,
                                   sigma2=m.obs_sigma2, valid=m.obs_valid)
             m = m._replace(lm_pos=ba.retriangulate_points(
@@ -412,8 +424,14 @@ class LoopCloser:
         # the event record (materialized lazily at finalize) so the camera
         # loop keeps dispatching while the device grinds through GBA — the
         # async analog of ORB-SLAM3's background-GBA thread.
+        # GBA rate limit: back-to-back closures (ring bench: kf 98/100/102)
+        # each repaid the full GBA for marginal gain; edges accumulate and
+        # PGO corrects on every closure, GBA runs at most once per
+        # gba_min_interval_kf keyframes (the later refine_map/GBA sees all
+        # edges' PGO state anyway)
         gba_chi2 = None
-        if cfg.run_global_ba:
+        if run_gba:
+            self._last_gba_kf = kf_idx
             if self.mesh is not None and self.mesh.devices.size > 1:
                 m, gba_chis = sm.global_ba_dist(m, self.K, self.mesh,
                                                 iters=cfg.gba_iters)

@@ -52,6 +52,9 @@ class StereoSlam:
         self._polled_until = 0
         self._outs_base = 0   # frame id corresponding to outs_log[0]
         self._outs_fids: List[int] = []  # frame id per outs_log entry
+        # pipelined poll (poll_keyframe_events(flush=False)): the last
+        # window's flag vector, copying to host while the camera loop runs
+        self._poll_pending = None
         # frame id of the keyframe currently being delivered to
         # keyframe_events callbacks (lets consumers look up per-frame
         # side data — e.g. the frame's point cloud — by frame id)
@@ -178,7 +181,7 @@ class StereoSlam:
         self.frame_id += 1
         return outs
 
-    def poll_keyframe_events(self):
+    def poll_keyframe_events(self, flush: bool = True):
         """Batched keyframe-event poll for the async path: ONE packed
         device->host readback of (was_keyframe, kf_idx) for every frame
         since the last poll, then keyframe callbacks + loop closing fire
@@ -186,25 +189,58 @@ class StereoSlam:
         async analog of ORB-SLAM3's local-mapping/loop-closing threads
         draining the keyframe queue: detection lags the camera by up to
         the poll interval, and a correction applies from the next
-        dispatched frame onward. Returns the list of events seen."""
+        dispatched frame onward. Returns the list of events seen.
+
+        flush=False is the PIPELINED mode for hot camera loops: the new
+        window's flag vector starts an async device->host copy NOW and is
+        processed at the NEXT poll, so the camera loop never blocks on a
+        readback. A blocking poll costs far more than the readback itself
+        on this backend: it drains the whole dispatch pipeline and the
+        refill pays per-kernel tunnel latency — measured 52 polls x ~48 ms
+        of bubble = 2.5 s on the 4.9 s ring bench (diag_loop_perf). Event
+        delivery lags by one extra poll interval (same contract as a 2x
+        poll period); pass flush=True (default) to drain everything now."""
+        events = []
+        pending = self._poll_pending
+        self._poll_pending = None
+        # launch the newest window's readback FIRST so it copies while the
+        # previous window's events are processed
         start = self._polled_until
         window = self.outs_log[start:]
-        if not window:
-            return []
-        flags = np.asarray(jnp.stack(
-            [jnp.stack([o.was_keyframe.astype(jnp.float32),
-                        o.kf_idx.astype(jnp.float32),
-                        o.loop_cand.astype(jnp.float32),
-                        o.loop_score])
-             for o in window]))
-        self._polled_until = len(self.outs_log)
+        new_pending = None
+        if window:
+            stacked = jnp.stack(
+                [jnp.stack([o.was_keyframe.astype(jnp.float32),
+                            o.kf_idx.astype(jnp.float32),
+                            o.loop_cand.astype(jnp.float32),
+                            o.loop_score])
+                 for o in window])
+            try:
+                stacked.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass  # backend without async copy: np.asarray below blocks
+            new_pending = (start, len(window), stacked)
+            self._polled_until = start + len(window)
+        if pending is not None:
+            events += self._process_poll_window(*pending)
+        if flush:
+            if new_pending is not None:
+                events += self._process_poll_window(*new_pending)
+        else:
+            self._poll_pending = new_pending
+        return events
+
+    def _process_poll_window(self, start, count, stacked):
+        """Fire callbacks/loop closing for one polled flag window."""
+        flags = np.asarray(stacked)
         events = []
-        for k in range(flags.shape[0]):
-            if flags[k, 0] < 1:
-                continue
+        for k in range(count):
             fid = self._outs_fids[start + k]
+            if flags[k, 0] < 1:
+                self._frame_ring.pop(fid, None)
+                continue
             kf_idx = int(flags[k, 1])
-            frame = self._frame_ring.get(fid)
+            frame = self._frame_ring.pop(fid, None)
             if frame is not None:
                 self.last_frame = frame
             self.last_keyframe_frame_id = fid
@@ -220,7 +256,6 @@ class StereoSlam:
                     self.loop_events.append(loop_info)
             events.append({"frame_id": fid, "kf_idx": kf_idx,
                            "loop": loop_info})
-        self._frame_ring.clear()
         return events
 
     def finalize(self):
@@ -229,6 +264,11 @@ class StereoSlam:
         tunnel RTT each, BENCH_NOTES.md)."""
         import numpy as _np
 
+        if self._poll_pending is not None:
+            # deliver pipelined events before the outs log resets (their
+            # window indexes into _outs_fids)
+            self._process_poll_window(*self._poll_pending)
+            self._poll_pending = None
         if not self.outs_log:
             return {"n_inliers": [], "keyframes": []}
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *self.outs_log)

@@ -121,6 +121,16 @@ class LoopConfig:
     # perceptual aliasing)
     consistency_threshold: int = 1
     consistency_radius_kf: int = 5  # candidates within this many KFs = same region
+    # keyframes to wait after a closed loop before another correction may
+    # fire (ORB-SLAM3 mnLastLoopKFid+10 analog). Default 0: every verified
+    # loop contributes its edge + a PGO correction (later edges are usually
+    # the strongest — gating them regressed ring ATE), and only the
+    # expensive GBA stage is rate-limited below
+    cooldown_keyframes: int = 0
+    # GBA runs at most once per this many keyframes across closures (the
+    # PGO-only corrections in between are ~10x cheaper; refine_map or the
+    # next GBA sees the accumulated edges anyway)
+    gba_min_interval_kf: int = 6
     # fixed capacity for accumulated loop edges: the PGO problem keeps ONE
     # compiled shape instead of recompiling per loop closure (oldest edges
     # are dropped beyond this)

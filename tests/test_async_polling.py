@@ -90,3 +90,44 @@ def test_poll_is_idempotent_between_frames():
     st = slam.finalize()
     # finalize's keyframe list agrees with the polled events
     assert len(st["keyframes"]) == len(ev)
+
+
+def test_pipelined_poll_delivers_same_events():
+    """flush=False (pipelined polls, r05) delivers the SAME event stream as
+    blocking polls — each window one poll later, everything flushed by the
+    final blocking poll / finalize."""
+    cfg, frames = _setup(12)
+
+    def collect(flush):
+        slam = StereoSlam(cfg)
+        evs = []
+        for i, f in enumerate(frames):
+            slam.process_frame_async(*f)
+            if i % 3 == 2:
+                evs += slam.poll_keyframe_events(flush=flush)
+        evs += slam.poll_keyframe_events()   # final drain (blocking)
+        slam.finalize()
+        return [(e["frame_id"], e["kf_idx"]) for e in evs]
+
+    blocking = collect(True)
+    pipelined = collect(False)
+    assert blocking == pipelined
+    assert blocking, "no keyframes at this cadence?"
+
+
+def test_pipelined_poll_pending_flushed_by_finalize():
+    """A window still in flight when finalize() runs must not be lost."""
+    cfg, frames = _setup(8)
+    slam = StereoSlam(cfg)
+    seen = []
+    slam.keyframe_events.append(
+        lambda s, kf: seen.append((s.last_keyframe_frame_id, kf)))
+    for i, f in enumerate(frames):
+        slam.process_frame_async(*f)
+        if i % 3 == 2:
+            slam.poll_keyframe_events(flush=False)
+    # NO final blocking poll: finalize must flush the pending window AND
+    # the never-polled tail is delivered by a later poll after finalize
+    slam.finalize()
+    n_after_finalize = len(seen)
+    assert n_after_finalize > 0, "pending window lost by finalize"

@@ -108,7 +108,7 @@ def run_seed(seed):
     for i in range(1, n_total):
         slam.process_frame_async(*frames[i])
         if i % POLL == 0:
-            slam.poll_keyframe_events()
+            slam.poll_keyframe_events(flush=False)
     slam.poll_keyframe_events()
     slam.finalize()
 

@@ -76,7 +76,7 @@ def main():
             t_disp += time.monotonic() - t0
             if i % POLL == 0:
                 t0 = time.monotonic()
-                slam.poll_keyframe_events()
+                slam.poll_keyframe_events(flush=False)
                 t_poll += time.monotonic() - t0
         t0 = time.monotonic()
         slam.poll_keyframe_events()
