@@ -140,3 +140,61 @@ def test_scale_search_identity_when_unbiased():
     scales = jnp.linspace(0.97, 1.03, 13)
     _, s_best, _ = scale_search(K, m, scales)
     assert abs(float(s_best) - 1.0) < 1e-6
+
+def test_refine_map_improves_chi2_and_rebases_tracker():
+    """StereoSlam.refine_map (deferred full-BA cycles) must lower the
+    robust chi2 of the map and keep the tracker pose consistent with the
+    refined last keyframe (delta composition, same contract as loop
+    corrections)."""
+    import dataclasses
+
+    from fitslam_tpu.data import synthetic
+    from fitslam_tpu.models.slam import StereoSlam
+    from fitslam_tpu.utils.config import FitSlamConfig
+
+    W, H = 160, 120
+    cfg = FitSlamConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        camera=dataclasses.replace(cfg.camera, width=W, height=H,
+                                   fx=0.625 * W, fy=0.625 * W,
+                                   cx=W / 2, cy=H / 2, baseline=0.2),
+        orb=dataclasses.replace(cfg.orb, num_features=192, num_levels=2,
+                                fast_threshold=12.0),
+        tracking=dataclasses.replace(cfg.tracking, min_inliers=8,
+                                     keyframe_min_interval=1,
+                                     keyframe_translation=0.2),
+        mapping=dataclasses.replace(cfg.mapping, max_keyframes=32,
+                                    max_landmarks=2048,
+                                    max_observations=4096,
+                                    local_window=3, ba_iters=2),
+        loop=dataclasses.replace(cfg.loop, enabled=False),
+    )
+    Kc = Intrinsics.from_config(cfg.camera)
+    world = synthetic.corridor_world(jax.random.PRNGKey(0), num=1500,
+                                     length=18.0, width=5.0)
+    T = synthetic.straight_trajectory(10, length=1.2, height=1.2,
+                                      start_x=0.5)
+    slam = StereoSlam(cfg)
+    for i in range(10):
+        l, r = synthetic.render_stereo(Kc, world, lie.SE3(T.R[i], T.t[i]),
+                                       width=W, height=H)
+        slam.process_frame_async(l, r)
+    slam.finalize()
+
+    obs = ba.Observations(kf=slam.map.obs_kf, lm=slam.map.obs_lm,
+                          uvr=slam.map.obs_uvr, sigma2=slam.map.obs_sigma2,
+                          valid=slam.map.obs_valid)
+    chi_before = float(ba.chi2_residuals(Kc, slam.map.kf_T_cw,
+                                         slam.map.lm_pos, obs))
+    chi2 = slam.refine_map(cycles=2, gba_iters=5)
+    chi_after = float(ba.chi2_residuals(Kc, slam.map.kf_T_cw,
+                                        slam.map.lm_pos, obs))
+    assert chi2 is not None and np.isfinite(float(chi2))
+    assert chi_after <= chi_before * 1.001, (chi_before, chi_after)
+    # tracker rebased onto the refined last keyframe: current pose must sit
+    # within numerical noise of it (the last frame WAS a keyframe or very
+    # close to it in this dense-cadence setup)
+    j = int(slam.map.n_kf) - 1
+    d = np.asarray(slam.state.T_cw.t) - np.asarray(slam.map.kf_T_cw.t[j])
+    assert np.linalg.norm(d) < 1.0
